@@ -1,0 +1,12 @@
+"""Test configuration: force an 8-device CPU platform so multi-chip
+sharding (mesh/pjit/shard_map) semantics are exercised without TPUs.
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,111 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rrnet_tpu import config as cfglib
+from rrnet_tpu.models import build_model
+
+
+def init_and_run(model, x, train=False):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    if train:
+        out, _ = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        return out
+    return model.apply(variables, x, train=False)
+
+
+def test_centernet_hourglass_shapes():
+    cfg = cfglib.centernet_config()
+    model = build_model(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    hms, whs, regs = init_and_run(model, x)
+    assert len(hms) == 2
+    assert hms[0].shape == (1, 32, 32, 10)
+    assert whs[0].shape == (1, 32, 32, 2)
+    assert regs[0].shape == (1, 32, 32, 2)
+    # heatmap head bias init -2.19
+    assert abs(float(np.asarray(hms[0]).mean()) + 2.19) < 1.0
+
+
+def test_rrnet_forward_outputs():
+    cfg = cfglib.rrnet_config()
+    cfg = cfglib.set_by_path(cfg, "model.topk", 64)
+    cfg = cfglib.set_by_path(cfg, "model.stage2_rois", 16)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    out = init_and_run(model, x)
+    assert out.stage2_reg.shape == (1, 16, 4)
+    assert out.rois.shape == (1, 16, 4)
+    assert out.roi_valid.shape == (1, 16)
+    assert out.hms[0].shape == (1, 32, 32, 10)
+
+
+def test_rrnet_soft_nms_variant():
+    cfg = cfglib.rrnet_config()
+    cfg = cfglib.set_by_path(cfg, "model.topk", 32)
+    cfg = cfglib.set_by_path(cfg, "model.stage2_rois", 8)
+    cfg = cfglib.set_by_path(cfg, "model.nms_type_for_stage1", "soft_nms")
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = init_and_run(model, x)
+    assert out.stage2_reg.shape == (1, 8, 4)
+
+
+def test_retinanet_shapes():
+    cfg = cfglib.retinanet_config()
+    model = build_model(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    loc, cls = init_and_run(model, x)
+    # levels 3/4/5 on 128 -> 16,8,4 => (256+64+16)*9 = 3024 anchors
+    assert loc.shape == (1, 3024, 4)
+    assert cls.shape == (1, 3024, 10)
+
+
+def test_resnet_feature_shapes():
+    from rrnet_tpu.models.backbones import get_backbone
+    bb = get_backbone("resnet50")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+    l1, l2, l3, l4 = bb.apply(variables, x, train=False)
+    assert l1.shape == (1, 16, 16, 256)
+    assert l2.shape == (1, 8, 8, 512)
+    assert l3.shape == (1, 4, 4, 1024)
+    assert l4.shape == (1, 2, 2, 2048)
+
+
+def test_centernet_train_mode_updates_batch_stats():
+    cfg = cfglib.centernet_config()
+    cfg = cfglib.set_by_path(cfg, "model.backbone", "resnet10")
+    # resnet10 returns 4 maps; centernet indexes stacks — use hourglass
+    cfg = cfglib.set_by_path(cfg, "model.backbone", "hourglass")
+    model = build_model(cfg)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+
+
+@pytest.mark.parametrize("name,n_feats", [
+    ("shufflenet_1.0x", 3),
+    ("hrnetv2", 4),
+])
+def test_other_backbones(name, n_feats):
+    from rrnet_tpu.models.backbones import get_backbone
+    bb = get_backbone(name)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+    outs = bb.apply(variables, x, train=False)
+    assert len(outs) == n_feats
+
+
+def test_hrnet_pose_single_output():
+    from rrnet_tpu.models.backbones import get_backbone
+    bb = get_backbone("hrnet32")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+    outs = bb.apply(variables, x, train=False)
+    assert len(outs) == 1
+    assert outs[0].shape == (1, 16, 16, 32)

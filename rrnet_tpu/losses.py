@@ -82,13 +82,15 @@ def reg_l1_loss(pred_map: jnp.ndarray, mask: jnp.ndarray, ind: jnp.ndarray,
 
 
 def focal_loss(cls_logits: jnp.ndarray, cls_targets: jnp.ndarray,
-               gamma: float = 2.0, alpha: float = 0.75) -> jnp.ndarray:
-    """Sigmoid focal loss for RetinaNet, sum reduction.
+               gamma: float = 2.0, alpha: float = 0.75,
+               reduction: str = "sum") -> jnp.ndarray:
+    """Sigmoid focal loss for RetinaNet.
 
     cls_logits: (..., num_classes) logits; cls_targets: same shape with
-    values in {1 (pos), 0 (neg), -1 (ignored — contributes as neg here;
-    callers mask ignored anchors out before calling, matching reference
-    operators/retinanet_operator.py:64-72 which slices valid anchors).
+    values in {1 (pos), 0 (neg)}. Ignored anchors are handled by the
+    caller masking the elementwise (reduction='none') output — the
+    reference slices valid anchors before summing
+    (operators/retinanet_operator.py:64-72).
     Matches modules/loss/functional.py:6-22 (probabilities clamped 1e-7).
     """
     p = jnp.clip(jax.nn.sigmoid(cls_logits), 1e-7, 1.0 - 1e-7)
@@ -97,7 +99,8 @@ def focal_loss(cls_logits: jnp.ndarray, cls_targets: jnp.ndarray,
     focal_weight = jnp.where(is_pos, 1.0 - p, p)
     focal_weight = alpha_factor * jnp.power(focal_weight, gamma)
     bce = -(cls_targets * jnp.log(p) + (1.0 - cls_targets) * jnp.log(1.0 - p))
-    return jnp.sum(focal_weight * bce)
+    out = focal_weight * bce
+    return jnp.sum(out) if reduction == "sum" else out
 
 
 def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,

@@ -33,6 +33,12 @@ def get_backbone(name: str, num_stacks: int = 2,
         return resnet101(bn_axis=bn_axis, dtype=dtype)
     if name == "hourglass":
         return HourglassNet(num_stacks=num_stacks, bn_axis=bn_axis, dtype=dtype)
+    if name == "tiny_hourglass":
+        # reduced-depth variant for tests / fast iteration (not in the
+        # reference; same topology, fewer levels/channels)
+        return HourglassNet(num_stacks=num_stacks, depth=2,
+                            inplanes=(64, 64, 96), layer_nums=(1, 1, 1),
+                            num_feats=64, bn_axis=bn_axis, dtype=dtype)
     if name == "dense_hourglass":
         return HourglassNet(num_stacks=num_stacks, dense=True,
                             bn_axis=bn_axis, dtype=dtype)

@@ -27,6 +27,19 @@ from rrnet_tpu.ops.nms import hard_nms, soft_nms
 from rrnet_tpu.ops.roi_align import roi_align
 
 
+def mask_heatmap_extent(hm, valid_hw, scale_factor: int = 4):
+    """Set heatmap logits outside each image's valid stride-s extent to
+    a large negative so padded bucket area never produces detections.
+    hm: (B, H, W, C); valid_hw: (B, 2) int32 image-pixel extents."""
+    b, h, w, _ = hm.shape
+    fy = jnp.ceil(valid_hw[:, 0] / scale_factor)[:, None, None]
+    fx = jnp.ceil(valid_hw[:, 1] / scale_factor)[:, None, None]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
+    ok = (ys < fy) & (xs < fx)
+    return jnp.where(ok[..., None], hm, -1e9)
+
+
 class RRNetOutputs(NamedTuple):
     hms: tuple          # per-stack (B, H, W, C) heatmap logits
     whs: tuple          # per-stack (B, H, W, 2)
@@ -54,7 +67,11 @@ class RRNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> RRNetOutputs:
+    def __call__(self, x, train: bool = False, valid_hw=None) -> RRNetOutputs:
+        """valid_hw: optional (B, 2) int32 [h, w] image extents; when the
+        batch is padded to a shape bucket (multi-scale eval), heatmap
+        logits outside the valid stride-4 extent are masked before
+        decoding so padding cannot emit detections."""
         # I. Backbone (one 256-ch stride-4 map per stack).
         feats = get_backbone(self.backbone, self.num_stacks, self.bn_axis,
                              self.dtype)(x, train)
@@ -75,8 +92,11 @@ class RRNet(nn.Module):
             offsets.append(off_head(f, i))
 
         # III. Decode top-k candidates from the LAST stack (feature coords).
+        hm_last = hms[-1].astype(jnp.float32)
+        if valid_hw is not None:
+            hm_last = mask_heatmap_extent(hm_last, valid_hw, scale_factor=4)
         dets = topk_decode(
-            hms[-1].astype(jnp.float32), whs[-1].astype(jnp.float32),
+            hm_last, whs[-1].astype(jnp.float32),
             offsets[-1].astype(jnp.float32), k=self.topk)
 
         # IV. Per-image NMS + static top-R ROI budget.

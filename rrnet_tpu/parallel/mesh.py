@@ -1,0 +1,64 @@
+"""Device mesh & sharding helpers.
+
+This module replaces the reference's entire distributed runtime
+(`operators/distributed_wrapper.py`: mp.spawn one-process-per-GPU, NCCL
+init_process_group over a TCP rendezvous, rank bookkeeping in
+`Config.Distributed`) with ~40 lines of mesh setup. Collectives are
+never written by hand: gradients are `lax.pmean` over the data axis
+inside `shard_map` (compiled by XLA onto ICI), SyncBN statistics ride
+the same axis via flax's BatchNorm(axis_name=...).
+
+Multi-host: call `jax.distributed.initialize()` before `create_mesh`;
+`jax.devices()` then spans all hosts and each process feeds its
+`local_batch_slice` of the global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rrnet_tpu.config import MeshConfig
+
+
+def create_mesh(cfg: Optional[MeshConfig] = None,
+                devices: Optional[list] = None) -> Mesh:
+    """Build a (data, model) mesh over all devices. data_parallel == -1
+    means "everything not claimed by other axes"."""
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(cfg.model_parallel, 1)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(
+            f"mesh {dp}x{mp} does not cover {n} devices; set "
+            f"mesh.data_parallel/model_parallel to factor the device count")
+    dev_array = np.asarray(devices).reshape(dp, mp)
+    return Mesh(dev_array, (cfg.data_axis, cfg.model_axis))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a host batch pytree on the mesh, sharded on the leading
+    (batch) dim — the TPU-native analogue of DistributedSampler."""
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (e.g. train state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This process's contiguous slice of the global batch (multi-host
+    input pipeline sharding; single-host returns the whole range)."""
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

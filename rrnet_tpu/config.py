@@ -121,8 +121,10 @@ class ModelConfig:
     retina_alpha: float = 0.75
     retina_gamma: float = 2.0
 
-    # Numerics.
-    dtype: str = "float32"       # compute dtype: 'float32' | 'bfloat16'
+    # Numerics. bfloat16 compute is the TPU-native choice: the v5e MXU
+    # is bf16-native and fp32 convs measure ~30x slower on this chip.
+    # Params/optimizer state stay float32; losses/decode cast to f32.
+    dtype: str = "bfloat16"      # compute dtype: 'float32' | 'bfloat16'
     param_dtype: str = "float32"
     sync_bn: bool = True         # RRNet converts to SyncBatchNorm; CenterNet not
 

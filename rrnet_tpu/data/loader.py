@@ -135,8 +135,9 @@ class TrainLoader:
 
 
 class ValLoader:
-    """Sequential eval loader (batch 1, full-size images, no transforms
-    but normalization; names preserved for the VisDrone txt writer)."""
+    """Sequential eval loader (batch 1, full-size raw uint8 images —
+    normalization happens on device inside the Evaluator; names preserved
+    for the VisDrone txt writer)."""
 
     def __init__(self, cfg: Config, dataset: Optional[VisDroneDataset] = None,
                  split: str = "val"):
@@ -148,14 +149,13 @@ class ValLoader:
         return len(self.dataset)
 
     def __iter__(self) -> Iterator[Dict]:
-        for i in range(len(self.dataset)):
-            sample = self.dataset[i]
-            sample = T.val_pipeline(sample, self.cfg)
-            yield {
-                "name": sample["name"],
-                "image": sample["image"],
-                "annos": sample["annos"],
-            }
+        from rrnet_tpu.data.visdrone import parse_annotation_file
+        import os
+        for name in self.dataset.names:
+            image = self.dataset.load_image(name)   # uint8 HWC
+            annos = parse_annotation_file(os.path.join(
+                self.dataset.annotations_dir, name + ".txt"))
+            yield {"name": name, "image": image, "annos": annos}
 
 
 def make_loaders(cfg: Config, global_batch_size: Optional[int] = None):

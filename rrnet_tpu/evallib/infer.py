@@ -3,19 +3,25 @@
 Rebuilds the reference eval loops (operators/rrnet_operator.py:246-284,
 operators/centernet_operator.py:251-297) TPU-first:
 
-  * The reference feeds every scaled image at its exact dynamic shape
-    (one CUDA graph per size, fine on GPU). XLA compiles per shape, so
-    each scaled image is right/bottom-padded into a shape BUCKET
-    (multiple of `bucket_multiple` pixels). Buckets are cached: the
-    whole VisDrone val set at 6 scales compiles a handful of programs.
+  * ONE host->device transfer per image, as uint8: the original image is
+    padded to a shape bucket and shipped once; per-scale bilinear
+    resizing, normalization, horizontal flip (within the valid extent)
+    and bucket padding all run on device. (The reference re-uploads a
+    full float image per scale per flip — 12x the bytes; over a remote
+    TPU link that transfer dominates wall-clock.)
+  * XLA compiles per shape, so scaled sizes are static per
+    (bucket, scale): scaled = bucket * scale rounded up to a multiple of
+    `bucket_multiple`. The content's exact scale ratio is scaled_bucket /
+    bucket, used to rescale boxes back.
   * Padded area is masked out of the heatmap before top-k so it cannot
     emit detections.
   * Per-image post-processing (score filter, multi-scale merge, optional
-    per-class soft-NMS, txt writing) stays on host, via the native
+    per-class soft-NMS, txt writing) stays on host via the native
     host_nms library.
 
 CenterNet eval additionally runs horizontal-flip TTA per scale
-(centernet_operator.py:266-283) and decodes only the LAST stack.
+(centernet_operator.py:266-283) and decodes only the LAST stack with
+k=250 (the operator's transform_bbox default).
 """
 
 from __future__ import annotations
@@ -24,7 +30,6 @@ import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
-import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,8 +43,18 @@ from rrnet_tpu.ops.box import decode_boxes
 from rrnet_tpu.ops.heatmap import topk_decode
 
 
-def _bucket(x: int, multiple: int) -> int:
+def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
+
+
+def _flip_valid_width(img: jnp.ndarray, w_valid: jnp.ndarray) -> jnp.ndarray:
+    """Horizontally flip only the first w_valid columns of (B, H, W, C)
+    (keeps content left-aligned so extent masking still applies)."""
+    w = img.shape[2]
+    xs = jnp.arange(w)
+    src = jnp.where(xs[None, :] < w_valid[:, None],
+                    w_valid[:, None] - 1 - xs[None, :], xs[None, :])
+    return jnp.take_along_axis(img, src[:, None, :, None], axis=2)
 
 
 class Evaluator:
@@ -53,26 +68,47 @@ class Evaluator:
         self.variables = variables
         self.bucket_multiple = bucket_multiple
         self.decode_topk = decode_topk
-        self._compiled: Dict[Tuple[int, int], callable] = {}
+        self.mean = np.asarray(cfg.val.mean, np.float32)
+        self.std = np.asarray(cfg.val.std, np.float32)
+        self._compiled: Dict[Tuple, callable] = {}
 
     # ------------------------------------------------------------------
-    def _predict_fn(self, shape: Tuple[int, int]):
-        """Build/jit the per-bucket predict function."""
-        if shape in self._compiled:
-            return self._compiled[shape]
+    def _predict_fn(self, bucket: Tuple[int, int], scaled: Tuple[int, int],
+                    flip: bool):
+        """Jitted (bucket, scaled, flip) program: device-side preprocess
+        (normalize/resize/flip) + forward + decode."""
+        key = (bucket, scaled, flip)
+        if key in self._compiled:
+            return self._compiled[key]
 
         name = self.cfg.model.name
         model = self.model
         k = self.decode_topk
         s = self.cfg.train.scale_factor
+        mean = jnp.asarray(self.mean)
+        std = jnp.asarray(self.std)
+        sh, sw = scaled
+
+        def preprocess(img_u8, valid_hw):
+            x = img_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            if scaled != bucket:
+                x = jax.image.resize(
+                    x, (x.shape[0], sh, sw, x.shape[3]), method="bilinear")
+            ry = sh / bucket[0]
+            rx = sw / bucket[1]
+            vhw = jnp.stack([
+                jnp.ceil(valid_hw[:, 0] * ry),
+                jnp.ceil(valid_hw[:, 1] * rx)], axis=1).astype(jnp.int32)
+            if flip:
+                x = _flip_valid_width(x, vhw[:, 1])
+            return x, vhw
 
         if name == "rrnet":
             @jax.jit
-            def fn(variables, img, valid_hw):
-                outs = model.apply(variables, img, train=False,
-                                   valid_hw=valid_hw)
-                # generate_bbox (rrnet_operator.py:188-209): stage-1 rois
-                # scaled to input pixels, stage-2 deltas applied
+            def fn(variables, img_u8, valid_hw):
+                x, vhw = preprocess(img_u8, valid_hw)
+                outs = model.apply(variables, x, train=False, valid_hw=vhw)
                 rois_xyxy = outs.rois * s
                 rois_xywh = jnp.concatenate(
                     [rois_xyxy[..., :2],
@@ -80,13 +116,13 @@ class Evaluator:
                 s2_xywh = decode_boxes(rois_xywh, outs.stage2_reg)
                 return (s2_xywh, outs.roi_scores,
                         outs.roi_classes.astype(jnp.float32) + 1.0,
-                        outs.roi_valid)
-        else:   # centernet family: decode last stack, k=250
+                        outs.roi_valid, vhw)
+        else:
             @jax.jit
-            def fn(variables, img, valid_hw):
-                hms, whs, regs = model.apply(variables, img, train=False)
-                hm = mask_heatmap_extent(hms[-1].astype(jnp.float32),
-                                         valid_hw, s)
+            def fn(variables, img_u8, valid_hw):
+                x, vhw = preprocess(img_u8, valid_hw)
+                hms, whs, regs = model.apply(variables, x, train=False)
+                hm = mask_heatmap_extent(hms[-1].astype(jnp.float32), vhw, s)
                 dets = topk_decode(hm, whs[-1].astype(jnp.float32),
                                    regs[-1].astype(jnp.float32),
                                    k=k, scale_factor=float(s))
@@ -95,54 +131,67 @@ class Evaluator:
                      dets.boxes[..., 2:4] - dets.boxes[..., :2]], -1)
                 valid = dets.scores > 0
                 return (xywh, dets.scores,
-                        dets.classes.astype(jnp.float32) + 1.0, valid)
+                        dets.classes.astype(jnp.float32) + 1.0, valid, vhw)
 
-        self._compiled[shape] = fn
+        self._compiled[key] = fn
         return fn
 
     # ------------------------------------------------------------------
-    def _run_scale(self, image: np.ndarray, scale: float,
-                   flip: bool = False) -> np.ndarray:
-        """One (scale, flip) pass -> (M, 6) xywh rows in ORIGINAL pixels."""
+    def _upload(self, image: np.ndarray):
+        """Pad the (already normalized-or-not) image to its bucket and
+        ship it once as uint8."""
         h, w = image.shape[:2]
-        if scale != 1.0:
-            img = cv2.resize(image, (int(w * scale), int(h * scale)),
-                             interpolation=cv2.INTER_LINEAR)
-        else:
-            img = image
-        sh, sw = img.shape[:2]
-        if flip:
-            img = img[:, ::-1]
-        bh, bw = _bucket(sh, self.bucket_multiple), _bucket(sw, self.bucket_multiple)
-        padded = np.zeros((bh, bw, 3), np.float32)
-        padded[:sh, :sw] = img
-        fn = self._predict_fn((bh, bw))
-        xywh, scores, classes, valid = fn(
-            self.variables, jnp.asarray(padded[None]),
-            jnp.asarray([[sh, sw]], jnp.int32))
-        xywh = np.asarray(xywh[0], np.float64)
-        scores = np.asarray(scores[0], np.float64)
-        classes = np.asarray(classes[0], np.float64)
-        valid = np.asarray(valid[0])
+        bh = _round_up(h, self.bucket_multiple)
+        bw = _round_up(w, self.bucket_multiple)
+        if image.dtype != np.uint8:
+            # image arrives [0,1] float from the val pipeline
+            image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+        padded = np.zeros((bh, bw, 3), np.uint8)
+        padded[:h, :w] = image
+        dev = jax.device_put(padded[None])
+        return dev, (bh, bw), (h, w)
 
-        rows = np.concatenate(
-            [xywh, scores[:, None], classes[:, None]], axis=1)[valid]
-        if flip:
-            rows[:, 0] = sw - rows[:, 0] - rows[:, 2]
-        rows[:, :4] /= scale
-        return rows
+    def _scaled_shape(self, bucket, scale):
+        return (_round_up(int(bucket[0] * scale), self.bucket_multiple),
+                _round_up(int(bucket[1] * scale), self.bucket_multiple))
 
     # ------------------------------------------------------------------
     def predict(self, image: np.ndarray) -> np.ndarray:
-        """Full multi-scale (+flip) prediction for one normalized image.
-        Returns (N, 6) rows sorted by score desc; soft-NMS applied when
-        auto_test is off (the auto-eval grid applies it offline)."""
+        """Full multi-scale (+flip) prediction for one image (HWC uint8
+        or [0,1] float RGB, un-normalized). Returns (N, 6) rows sorted by
+        score desc; soft-NMS applied when auto_test is off."""
         cfg = self.cfg
-        parts: List[np.ndarray] = []
+        dev_img, bucket, (h, w) = self._upload(image)
+        vhw = jnp.asarray([[h, w]], jnp.int32)
+
+        pending = []
         for scale in cfg.val.scales:
-            if cfg.val.flip_tta:
-                parts.append(self._run_scale(image, scale, flip=True))
-            parts.append(self._run_scale(image, scale, flip=False))
+            scaled = self._scaled_shape(bucket, scale)
+            flips = (True, False) if cfg.val.flip_tta else (False,)
+            for flip in flips:
+                fn = self._predict_fn(bucket, scaled, flip)
+                out = fn(self.variables, dev_img, vhw)
+                ry = scaled[0] / bucket[0]
+                rx = scaled[1] / bucket[1]
+                pending.append((out, flip, ry, rx))
+
+        parts: List[np.ndarray] = []
+        for (xywh, scores, classes, valid, vhw_s), flip, ry, rx in pending:
+            xywh = np.asarray(xywh[0], np.float64)
+            rows = np.concatenate(
+                [xywh,
+                 np.asarray(scores[0], np.float64)[:, None],
+                 np.asarray(classes[0], np.float64)[:, None]],
+                axis=1)[np.asarray(valid[0])]
+            if flip:
+                sw_valid = float(np.asarray(vhw_s[0, 1]))
+                rows[:, 0] = sw_valid - rows[:, 0] - rows[:, 2]
+            rows[:, 0] /= rx
+            rows[:, 2] /= rx
+            rows[:, 1] /= ry
+            rows[:, 3] /= ry
+            parts.append(rows)
+
         pred = np.concatenate(parts, axis=0)
         if not cfg.val.auto_test:
             pred = pred[pred[:, 4] > cfg.val.score_threshold]

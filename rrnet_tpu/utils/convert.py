@@ -1,0 +1,219 @@
+"""Dataset/format converters.
+
+  * VisDrone -> COCO JSON (reference utils/data_type_convertor.py:7-153,
+    12 categories including ignore(0) and others(11)).
+  * PyTorch checkpoint -> flax params for the backbones (replaces the
+    reference's pretrained-weight loaders, backbones/load.py:5-38):
+    name-mapped, strict=False with a missing/unexpected report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from rrnet_tpu.data.visdrone import VISDRONE_CLASS_NAMES
+
+
+# ---------------------------------------------------------------------------
+# VisDrone -> COCO
+# ---------------------------------------------------------------------------
+
+def visdrone_to_coco(root_dir: str, split: str, out_path: str) -> str:
+    """Build a COCO-format JSON from a VisDrone split
+    (utils/data_type_convertor.py semantics: all 12 categories, bbox
+    xywh, iscrowd=0, area=w*h)."""
+    from PIL import Image
+
+    images_dir = os.path.join(root_dir, split, "images")
+    annos_dir = os.path.join(root_dir, split, "annotations")
+    names = sorted(os.path.splitext(f)[0] for f in os.listdir(images_dir)
+                   if f.endswith(".jpg"))
+
+    categories = [{"id": i, "name": n, "supercategory": "none"}
+                  for i, n in enumerate(VISDRONE_CLASS_NAMES)]
+    images, annotations = [], []
+    ann_id = 1
+    for img_id, name in enumerate(names, start=1):
+        with Image.open(os.path.join(images_dir, name + ".jpg")) as im:
+            w, h = im.size
+        images.append({"id": img_id, "file_name": name + ".jpg",
+                       "width": w, "height": h})
+        path = os.path.join(annos_dir, name + ".txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip().strip(",")
+                    if not line:
+                        continue
+                    vals = [float(v) for v in line.split(",")[:8]]
+                    annotations.append({
+                        "id": ann_id, "image_id": img_id,
+                        "category_id": int(vals[5]),
+                        "bbox": vals[:4],
+                        "area": vals[2] * vals[3],
+                        "iscrowd": 0,
+                        "score": vals[4],
+                    })
+                    ann_id += 1
+    coco = {"images": images, "annotations": annotations,
+            "categories": categories}
+    with open(out_path, "w") as f:
+        json.dump(coco, f)
+    return out_path
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax weight conversion
+# ---------------------------------------------------------------------------
+
+def _to_np(t):
+    try:
+        import torch
+        if isinstance(t, torch.Tensor):
+            return t.detach().cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def torch_conv_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def torch_linear_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch (out, in) -> flax (in, out)."""
+    return np.transpose(w, (1, 0))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth state dict to numpy, handling the reference's
+    'model'-wrapped dicts and 'module.' prefixes (backbones/load.py)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = _to_np(v)
+    return out
+
+
+def convert_resnet_params(state_dict: Dict[str, np.ndarray],
+                          layers: Tuple[int, ...] = (3, 4, 6, 3)):
+    """Map a torchvision-style ResNet state dict onto our ResNet module's
+    param/batch_stats trees. Returns (params, batch_stats, report)."""
+    params: Dict = {}
+    stats: Dict = {}
+    used = set()
+
+    def put_conv(flax_name, torch_name):
+        if torch_name + ".weight" not in state_dict:
+            return False
+        params[flax_name] = {
+            "kernel": torch_conv_to_flax(state_dict[torch_name + ".weight"])}
+        used.add(torch_name + ".weight")
+        return True
+
+    def put_bn(flax_name, torch_name):
+        if torch_name + ".weight" not in state_dict:
+            return False
+        params[flax_name] = {
+            "BatchNorm_0": {
+                "scale": state_dict[torch_name + ".weight"],
+                "bias": state_dict[torch_name + ".bias"],
+            }}
+        stats[flax_name] = {
+            "BatchNorm_0": {
+                "mean": state_dict[torch_name + ".running_mean"],
+                "var": state_dict[torch_name + ".running_var"],
+            }}
+        for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+            used.add(torch_name + suf)
+        return True
+
+    put_conv("conv1", "conv1")
+    put_bn("bn1", "bn1")
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            base = f"layer{stage + 1}.{b}"
+            name = f"layer{stage + 1}_{b}"
+            sub_p, sub_s = {}, {}
+            for ci in (1, 2, 3):
+                if f"{base}.conv{ci}.weight" in state_dict:
+                    sub_p[f"conv{ci}"] = {"kernel": torch_conv_to_flax(
+                        state_dict[f"{base}.conv{ci}.weight"])}
+                    used.add(f"{base}.conv{ci}.weight")
+                bn = f"{base}.bn{ci}"
+                if bn + ".weight" in state_dict:
+                    sub_p[f"bn{ci}"] = {"BatchNorm_0": {
+                        "scale": state_dict[bn + ".weight"],
+                        "bias": state_dict[bn + ".bias"]}}
+                    sub_s[f"bn{ci}"] = {"BatchNorm_0": {
+                        "mean": state_dict[bn + ".running_mean"],
+                        "var": state_dict[bn + ".running_var"]}}
+                    for suf in (".weight", ".bias", ".running_mean",
+                                ".running_var"):
+                        used.add(bn + suf)
+            ds = f"{base}.downsample"
+            if ds + ".0.weight" in state_dict:
+                sub_p["downsample_conv"] = {"kernel": torch_conv_to_flax(
+                    state_dict[ds + ".0.weight"])}
+                sub_p["downsample_bn"] = {"BatchNorm_0": {
+                    "scale": state_dict[ds + ".1.weight"],
+                    "bias": state_dict[ds + ".1.bias"]}}
+                sub_s["downsample_bn"] = {"BatchNorm_0": {
+                    "mean": state_dict[ds + ".1.running_mean"],
+                    "var": state_dict[ds + ".1.running_var"]}}
+                for suf in (".0.weight", ".1.weight", ".1.bias",
+                            ".1.running_mean", ".1.running_var"):
+                    used.add(ds + suf)
+            params[name] = sub_p
+            stats[name] = sub_s
+
+    unexpected = sorted(k for k in state_dict
+                        if k not in used and "fc." not in k
+                        and "num_batches_tracked" not in k)
+    report = {"unexpected": unexpected}
+    return params, stats, report
+
+
+def merge_pretrained(variables, pretrained_params, pretrained_stats,
+                     scope: str = "backbone"):
+    """Graft converted pretrained subtrees into an initialized variables
+    tree (strict=False: only matching leaf shapes are replaced)."""
+    import jax
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+                out[k] = merge(out[k], v)
+            elif k in out and hasattr(out[k], "shape") and \
+                    np.shape(v) == np.shape(out[k]):
+                out[k] = np.asarray(v, np.float32)
+        return out
+
+    variables = dict(variables)
+    params = dict(variables["params"])
+    if scope in params:
+        params[scope] = merge(params[scope], pretrained_params)
+    else:
+        params = merge(params, pretrained_params)
+    variables["params"] = params
+    if pretrained_stats and "batch_stats" in variables:
+        bs = dict(variables["batch_stats"])
+        if scope in bs:
+            bs[scope] = merge(bs[scope], pretrained_stats)
+        else:
+            bs = merge(bs, pretrained_stats)
+        variables["batch_stats"] = bs
+    return variables

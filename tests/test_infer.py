@@ -1,0 +1,89 @@
+"""Evaluator (multi-scale bucketed inference) tests on CPU."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rrnet_tpu import config as cfglib
+from rrnet_tpu.evallib.infer import Evaluator, _flip_valid_width, _round_up
+from rrnet_tpu.models import build_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_flip_valid_width():
+    img = np.arange(12, dtype=np.float32).reshape(1, 1, 12, 1)
+    out = np.asarray(_flip_valid_width(jnp.asarray(img),
+                                       jnp.asarray([8])))
+    np.testing.assert_array_equal(out[0, 0, :8, 0], np.arange(8)[::-1])
+    np.testing.assert_array_equal(out[0, 0, 8:, 0], np.arange(8, 12))
+
+
+@pytest.fixture(scope="module")
+def tiny_eval():
+    cfg = cfglib.centernet_config()
+    cfg = cfglib.set_by_path(cfg, "model.backbone", "tiny_hourglass")
+    cfg = cfglib.set_by_path(cfg, "val.scales", (1.0, 1.25))
+    cfg = cfglib.set_by_path(cfg, "val.flip_tta", True)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    ev = Evaluator(cfg, variables, model=model, bucket_multiple=64,
+                   decode_topk=50)
+    return cfg, ev
+
+
+def test_predict_shapes_and_bounds(tiny_eval):
+    cfg, ev = tiny_eval
+    rng = np.random.RandomState(0)
+    img = (rng.rand(100, 150, 3) * 255).astype(np.uint8)
+    pred = ev.predict(img)
+    assert pred.shape[1] == 6
+    assert len(pred) > 0
+    # detections must lie inside the original image extent (+tolerance)
+    assert (pred[:, 0] + pred[:, 2] <= 150 + 8).all()
+    assert (pred[:, 1] + pred[:, 3] <= 100 + 8).all()
+    assert (pred[:, 5] >= 1).all() and (pred[:, 5] <= 10).all()
+    # sorted by score desc
+    assert (np.diff(pred[:, 4]) <= 1e-9).all()
+
+
+def test_bucket_reuse(tiny_eval):
+    """Same-bucket images must not trigger new compiles."""
+    cfg, ev = tiny_eval
+    rng = np.random.RandomState(1)
+    ev.predict((rng.rand(100, 150, 3) * 255).astype(np.uint8))
+    n = len(ev._compiled)
+    ev.predict((rng.rand(90, 140, 3) * 255).astype(np.uint8))  # same bucket
+    assert len(ev._compiled) == n
+    ev.predict((rng.rand(200, 150, 3) * 255).astype(np.uint8))  # new bucket
+    assert len(ev._compiled) > n
+
+
+def test_padding_emits_no_detections():
+    """An image much smaller than its bucket: all detections must stay
+    within the valid extent (padding masked out of the heatmap)."""
+    cfg = cfglib.centernet_config()
+    cfg = cfglib.set_by_path(cfg, "model.backbone", "tiny_hourglass")
+    cfg = cfglib.set_by_path(cfg, "val.scales", (1.0,))
+    cfg = cfglib.set_by_path(cfg, "val.flip_tta", False)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    ev = Evaluator(cfg, variables, model=model, bucket_multiple=256,
+                   decode_topk=100)
+    img = np.full((65, 70, 3), 128, np.uint8)   # bucket 256x256
+    pred = ev.predict(img)
+    centers_x = pred[:, 0] + pred[:, 2] / 2
+    centers_y = pred[:, 1] + pred[:, 3] / 2
+    assert (centers_x <= 70 + 4).all(), centers_x.max()
+    assert (centers_y <= 65 + 4).all(), centers_y.max()
+
+
+def test_round_up():
+    assert _round_up(1, 128) == 128
+    assert _round_up(128, 128) == 128
+    assert _round_up(129, 128) == 256

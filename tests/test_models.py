@@ -20,13 +20,15 @@ def test_centernet_hourglass_shapes():
     cfg = cfglib.centernet_config()
     model = build_model(cfg)
     x = jnp.zeros((1, 128, 128, 3))
-    hms, whs, regs = init_and_run(model, x)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    hms, whs, regs = model.apply(variables, x, train=False)
     assert len(hms) == 2
     assert hms[0].shape == (1, 32, 32, 10)
     assert whs[0].shape == (1, 32, 32, 2)
     assert regs[0].shape == (1, 32, 32, 2)
-    # heatmap head bias init -2.19
-    assert abs(float(np.asarray(hms[0]).mean()) + 2.19) < 1.0
+    # heatmap head bias init -2.19 (detectors/centernet_detector.py:17-19)
+    bias = np.asarray(variables["params"]["hm"]["out0"]["bias"])
+    np.testing.assert_allclose(bias, -2.19, atol=1e-6)
 
 
 def test_rrnet_forward_outputs():

@@ -74,10 +74,10 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def _predict_fn(self, bucket: Tuple[int, int], scaled: Tuple[int, int],
-                    flip: bool):
-        """Jitted (bucket, scaled, flip) program: device-side preprocess
-        (normalize/resize/flip) + forward + decode."""
-        key = (bucket, scaled, flip)
+                    flip: bool, batch: int = 1):
+        """Jitted (bucket, scaled, flip, batch) program: device-side
+        preprocess (normalize/resize/flip) + forward + decode."""
+        key = (bucket, scaled, flip, batch)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -137,90 +137,145 @@ class Evaluator:
         return fn
 
     # ------------------------------------------------------------------
-    def _upload(self, image: np.ndarray):
-        """Pad the (already normalized-or-not) image to its bucket and
-        ship it once as uint8."""
-        h, w = image.shape[:2]
-        bh = _round_up(h, self.bucket_multiple)
-        bw = _round_up(w, self.bucket_multiple)
-        if image.dtype != np.uint8:
-            # image arrives [0,1] float from the val pipeline
-            image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
-        padded = np.zeros((bh, bw, 3), np.uint8)
-        padded[:h, :w] = image
-        dev = jax.device_put(padded[None])
-        return dev, (bh, bw), (h, w)
+    def _upload(self, images):
+        """Pad a list of same-bucket images and ship ONE uint8 batch."""
+        hs = [im.shape[0] for im in images]
+        ws = [im.shape[1] for im in images]
+        bh = _round_up(max(hs), self.bucket_multiple)
+        bw = _round_up(max(ws), self.bucket_multiple)
+        padded = np.zeros((len(images), bh, bw, 3), np.uint8)
+        for i, im in enumerate(images):
+            if im.dtype != np.uint8:
+                im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
+            padded[i, :im.shape[0], :im.shape[1]] = im
+        dev = jax.device_put(padded)
+        return dev, (bh, bw), list(zip(hs, ws))
 
     def _scaled_shape(self, bucket, scale):
         return (_round_up(int(bucket[0] * scale), self.bucket_multiple),
                 _round_up(int(bucket[1] * scale), self.bucket_multiple))
 
     # ------------------------------------------------------------------
-    def predict(self, image: np.ndarray) -> np.ndarray:
-        """Full multi-scale (+flip) prediction for one image (HWC uint8
-        or [0,1] float RGB, un-normalized). Returns (N, 6) rows sorted by
-        score desc; soft-NMS applied when auto_test is off."""
+    def dispatch_batch(self, images):
+        """Async-dispatch the full (scales x flips) program set for a
+        same-bucket image batch; returns a handle for `collect`."""
         cfg = self.cfg
-        dev_img, bucket, (h, w) = self._upload(image)
-        vhw = jnp.asarray([[h, w]], jnp.int32)
-
+        dev_img, bucket, hws = self._upload(images)
+        vhw = jnp.asarray(hws, jnp.int32)
         pending = []
         for scale in cfg.val.scales:
             scaled = self._scaled_shape(bucket, scale)
             flips = (True, False) if cfg.val.flip_tta else (False,)
             for flip in flips:
-                fn = self._predict_fn(bucket, scaled, flip)
+                fn = self._predict_fn(bucket, scaled, flip, len(images))
                 out = fn(self.variables, dev_img, vhw)
                 ry = scaled[0] / bucket[0]
                 rx = scaled[1] / bucket[1]
                 pending.append((out, flip, ry, rx))
+        return (pending, len(images))
 
-        parts: List[np.ndarray] = []
+    def collect(self, handle) -> List[np.ndarray]:
+        """Fetch + host-post-process a dispatched batch -> per-image
+        (N, 6) xywh+score+cls rows sorted by score."""
+        cfg = self.cfg
+        pending, n = handle
+        per_img: List[List[np.ndarray]] = [[] for _ in range(n)]
         for (xywh, scores, classes, valid, vhw_s), flip, ry, rx in pending:
-            xywh = np.asarray(xywh[0], np.float64)
-            rows = np.concatenate(
-                [xywh,
-                 np.asarray(scores[0], np.float64)[:, None],
-                 np.asarray(classes[0], np.float64)[:, None]],
-                axis=1)[np.asarray(valid[0])]
-            if flip:
-                sw_valid = float(np.asarray(vhw_s[0, 1]))
-                rows[:, 0] = sw_valid - rows[:, 0] - rows[:, 2]
-            rows[:, 0] /= rx
-            rows[:, 2] /= rx
-            rows[:, 1] /= ry
-            rows[:, 3] /= ry
-            parts.append(rows)
+            xywh = np.asarray(xywh, np.float64)
+            scores = np.asarray(scores, np.float64)
+            classes = np.asarray(classes, np.float64)
+            valid = np.asarray(valid)
+            vhw_s = np.asarray(vhw_s)
+            for b in range(n):
+                rows = np.concatenate(
+                    [xywh[b], scores[b][:, None], classes[b][:, None]],
+                    axis=1)[valid[b]]
+                if flip:
+                    rows[:, 0] = vhw_s[b, 1] - rows[:, 0] - rows[:, 2]
+                rows[:, [0, 2]] /= rx
+                rows[:, [1, 3]] /= ry
+                per_img[b].append(rows)
 
-        pred = np.concatenate(parts, axis=0)
-        if not cfg.val.auto_test:
-            pred = pred[pred[:, 4] > cfg.val.score_threshold]
-        pred = pred[np.argsort(-pred[:, 4], kind="stable")]
-        if not cfg.val.auto_test:
-            pred = host_nms.per_class_soft_nms_xywh(
-                pred, Nt=cfg.model.soft_nms.iou_threshold,
-                threshold=cfg.model.soft_nms.score_threshold)
+        outs = []
+        for parts in per_img:
+            pred = np.concatenate(parts, axis=0)
+            if not cfg.val.auto_test:
+                pred = pred[pred[:, 4] > cfg.val.score_threshold]
             pred = pred[np.argsort(-pred[:, 4], kind="stable")]
-        return pred
+            if not cfg.val.auto_test:
+                pred = host_nms.per_class_soft_nms_xywh(
+                    pred, Nt=cfg.model.soft_nms.iou_threshold,
+                    threshold=cfg.model.soft_nms.score_threshold)
+                pred = pred[np.argsort(-pred[:, 4], kind="stable")]
+            outs.append(pred)
+        return outs
+
+    def predict_batch(self, images) -> List[np.ndarray]:
+        return self.collect(self.dispatch_batch(images))
+
+    def predict(self, image: np.ndarray) -> np.ndarray:
+        """Single-image convenience wrapper around predict_batch."""
+        return self.predict_batch([image])[0]
 
     # ------------------------------------------------------------------
     def evaluate_split(self, loader, result_dir: Optional[str] = None,
                        max_images: Optional[int] = None,
-                       verbose: bool = True) -> str:
+                       batch_size: int = 4, verbose: bool = True) -> str:
         """Run the val split, writing VisDrone txts (the reference's
-        evaluation_process). Returns the result dir."""
+        evaluation_process). Images are grouped by shape bucket into
+        batches, and host post-processing of batch k overlaps device
+        compute of batch k+1 (software pipelining). Returns the result
+        dir."""
         result_dir = result_dir or self.cfg.val.result_dir
         os.makedirs(result_dir, exist_ok=True)
         style = ("centernet" if self.cfg.model.name == "centernet"
                  else "rrnet")
-        for i, item in enumerate(loader):
-            if max_images is not None and i >= max_images:
-                break
-            pred = self.predict(item["image"])
-            save_result(os.path.join(result_dir, item["name"] + ".txt"),
-                        pred, style=style)
+
+        def bucket_of(img):
+            return (_round_up(img.shape[0], self.bucket_multiple),
+                    _round_up(img.shape[1], self.bucket_multiple))
+
+        queues: Dict[Tuple[int, int], List] = {}
+        in_flight = []   # (handle, names)
+        done = 0
+
+        def flush(q, pad_to: Optional[int] = None):
+            nonlocal done
+            names = [it["name"] for it in q]
+            imgs = [it["image"] for it in q]
+            if pad_to and len(imgs) < pad_to:
+                # reuse the already-compiled batch program: pad with
+                # copies of the last image, outputs beyond `names` dropped
+                imgs = imgs + [imgs[-1]] * (pad_to - len(imgs))
+            in_flight.append((self.dispatch_batch(imgs), names))
+            if len(in_flight) > 1:
+                done = _drain(in_flight.pop(0), done)
+
+        def _drain(entry, done):
+            handle, names = entry
+            for name, pred in zip(names, self.collect(handle)):
+                save_result(os.path.join(result_dir, name + ".txt"),
+                            pred, style=style)
+            done += len(names)
             if verbose:
-                print(f"\r[{i + 1}]", end="", flush=True)
+                print(f"\r[{done}]", end="", flush=True)
+            return done
+
+        count = 0
+        for item in loader:
+            if max_images is not None and count >= max_images:
+                break
+            count += 1
+            b = bucket_of(item["image"])
+            queues.setdefault(b, []).append(item)
+            if len(queues[b]) >= batch_size:
+                flush(queues.pop(b))
+        for b, q in list(queues.items()):
+            # leftovers: pad to the batch size so the compiled batch
+            # program is reused (extra outputs discarded)
+            flush(q, pad_to=batch_size)
+        while in_flight:
+            done = _drain(in_flight.pop(0), done)
         if verbose:
             print("\n=> Evaluation Done!")
         return result_dir

@@ -47,6 +47,7 @@ def hard_nms(
     class_ids: Optional[jnp.ndarray] = None,
     plus_one: bool = False,
     suppress_equal: bool = False,
+    method: str = "fixpoint",
 ) -> jnp.ndarray:
     """Greedy hard NMS over a fixed-K box set -> (K,) bool keep mask.
 
@@ -55,6 +56,15 @@ def hard_nms(
     suppress_equal=True` it matches the reference Cython `cpu_nms`
     (ext/nms/nms/cpu_nms.pyx:122-173, suppress on iou >= thr with +1
     areas).
+
+    method='fixpoint' (default, TPU-fast): iterate
+        keep <- valid & ~any_higher_scored_kept_overlap(keep)
+    to convergence (lax.while_loop). The greedy keep set is the unique
+    fixpoint reached after at most `suppression chain depth` iterations
+    (typically < 20); each iteration is a single (K,K) masked matvec the
+    MXU executes, instead of K sequential scalar steps.
+    method='sequential': the literal greedy scan (O(K) serial steps) —
+    kept as the semantics oracle.
 
     boxes: (K, 4) xyxy. scores: (K,). valid: (K,) bool or None.
     """
@@ -72,17 +82,34 @@ def hard_nms(
     overlap = (iou >= iou_threshold) if suppress_equal else (iou > iou_threshold)
     idx = jnp.arange(k)
 
-    def body(i, state):
-        keep, suppressed = state
-        is_kept = valid_s[i] & ~suppressed[i]
-        keep = keep.at[i].set(is_kept)
-        row = overlap[i]
-        suppressed = suppressed | (is_kept & row & (idx > i))
-        return keep, suppressed
+    if method == "fixpoint":
+        # can[i, j]: a kept i would suppress j (strictly lower-scored)
+        can = (overlap & (idx[:, None] < idx[None, :]) &
+               valid_s[:, None]).astype(jnp.float32)
 
-    keep_s, _ = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool))
-    )
+        def cond(state):
+            keep, prev, it = state
+            return jnp.any(keep != prev) & (it < k)
+
+        def body(state):
+            keep, _, it = state
+            supp = (keep.astype(jnp.float32) @ can) > 0.0
+            return valid_s & ~supp, keep, it + 1
+
+        keep_s, _, _ = jax.lax.while_loop(
+            cond, body, (valid_s, jnp.zeros((k,), bool), jnp.zeros((), jnp.int32)))
+    else:
+        def body(i, state):
+            keep, suppressed = state
+            is_kept = valid_s[i] & ~suppressed[i]
+            keep = keep.at[i].set(is_kept)
+            row = overlap[i]
+            suppressed = suppressed | (is_kept & row & (idx > i))
+            return keep, suppressed
+
+        keep_s, _ = jax.lax.fori_loop(
+            0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool))
+        )
     # Scatter back to the original order.
     return jnp.zeros((k,), bool).at[order].set(keep_s)
 

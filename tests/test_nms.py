@@ -25,6 +25,27 @@ def test_hard_nms_matches_oracle():
         assert set(got) == set(expected), (sorted(got), sorted(expected))
 
 
+def test_fixpoint_equals_sequential():
+    """The fixpoint iteration must reproduce the literal greedy scan,
+    including on dense overlapping chains (drone-crowd-like data)."""
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        n = 128
+        # chains: boxes drift so A-B overlap, B-C overlap, A-C don't
+        xy = np.cumsum(rng.rand(n, 2) * 6, axis=0) % 80
+        wh = rng.rand(n, 2) * 12 + 6
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        for thr in (0.2, 0.5):
+            fix = np.asarray(nms.hard_nms(
+                jnp.asarray(boxes), jnp.asarray(scores), thr,
+                method="fixpoint"))
+            seq = np.asarray(nms.hard_nms(
+                jnp.asarray(boxes), jnp.asarray(scores), thr,
+                method="sequential"))
+            np.testing.assert_array_equal(fix, seq)
+
+
 def test_hard_nms_legacy_mode():
     boxes, scores = random_dets(48, seed=7)
     keep = np.asarray(

@@ -105,7 +105,10 @@ class RRNet(nn.Module):
         def select_rois(boxes, scores, classes):
             cls_ids = classes if self.nms_per_class else None
             if self.nms_type == "soft_nms":
-                new_scores, keep, _ = soft_nms(
+                # Pallas kernel on TPU (single fused program), XLA
+                # fori-loop elsewhere
+                from rrnet_tpu.ops.pallas_nms import soft_nms_auto
+                new_scores, keep, _ = soft_nms_auto(
                     boxes, scores, class_ids=cls_ids,
                     sigma=self.soft_nms_sigma,
                     iou_threshold=self.nms_iou,

@@ -7,36 +7,37 @@ Rebuilds the reference's two schedules as optax schedules:
     provided for parity and actually useful on TPU with large batches).
 
 Note the reference calls `lr_sch.step()` *before* `optimizer.step()`
-(PyTorch-1.1 ordering, rrnet_operator.py:117), so its effective lr
-drops one step earlier than the milestone; optax schedules are indexed
-by the pre-update step count, which reproduces that off-by-one exactly.
+(PyTorch-1.1 ordering, rrnet_operator.py:117), so the lr used by update
+i is the one for schedule counter i+1: the decay takes effect one
+update earlier than the milestone. The schedule below reproduces that
+exactly: update step i is decayed when i + 1 >= milestone.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
-import optax
+import jax.numpy as jnp
 
 
 def multistep_lr(base_lr: float, milestones: Sequence[int],
                  gamma: float = 0.1,
                  warmup_steps: int = 0,
                  warmup_factor: float = 1.0 / 3.0,
-                 warmup_method: str = "linear") -> optax.Schedule:
-    boundaries = {int(m): gamma for m in milestones}
-    decay = optax.piecewise_constant_schedule(base_lr, boundaries)
-    if warmup_steps <= 0:
-        return decay
+                 warmup_method: str = "linear") -> Callable:
+    ms = jnp.asarray(sorted(int(m) for m in milestones), jnp.float32)
 
     def schedule(step):
-        import jax.numpy as jnp
-        lr = decay(step)
-        if warmup_method == "linear":
-            alpha = step / warmup_steps
-            w = warmup_factor * (1 - alpha) + alpha
-        else:  # constant
-            w = warmup_factor
-        return jnp.where(step < warmup_steps, lr * w, lr)
+        eff = step + 1  # PyTorch-1.1 pre-step ordering (see module doc)
+        n_hit = jnp.sum(eff >= ms) if len(milestones) else 0.0
+        lr = base_lr * (gamma ** n_hit)
+        if warmup_steps > 0:
+            if warmup_method == "linear":
+                alpha = step / warmup_steps
+                w = warmup_factor * (1 - alpha) + alpha
+            else:  # constant
+                w = warmup_factor
+            lr = jnp.where(step < warmup_steps, lr * w, lr)
+        return lr
 
     return schedule

@@ -104,7 +104,57 @@ class Evaluator:
                 x = _flip_valid_width(x, vhw[:, 1])
             return x, vhw
 
-        if name == "rrnet":
+        if name == "retinanet":
+            # reference operators/retinanet_operator.py:179-258: per-anchor
+            # max-class sigmoid score (>0.1), standardized-delta decode,
+            # class-agnostic hard NMS at 0.3 (the CUDA gpu_nms, +1 extents)
+            from rrnet_tpu.models.anchors import anchors_for_shape
+            from rrnet_tpu.ops.nms import hard_nms
+            m = self.cfg.model
+            anchors = jnp.asarray(anchors_for_shape(
+                scaled, pyramid_levels=tuple(m.anchor_levels),
+                sizes=tuple(m.anchor_sizes), ratios=tuple(m.anchor_ratios),
+                scales=tuple(m.anchor_scales)))
+            topk = min(self.decode_topk * 4, anchors.shape[0])
+
+            @jax.jit
+            def fn(variables, img_u8, valid_hw):
+                x, vhw = preprocess(img_u8, valid_hw)
+                loc, cls = model.apply(variables, x, train=False)
+                prob = jax.nn.sigmoid(cls.astype(jnp.float32))
+                best, best_idx = prob.max(-1), prob.argmax(-1)
+                # drop anchors whose centers fall in the padded area
+                acx = (anchors[:, 0] + anchors[:, 2]) / 2
+                acy = (anchors[:, 1] + anchors[:, 3]) / 2
+                inside = ((acx[None] < vhw[:, 1:2]) &
+                          (acy[None] < vhw[:, 0:1]))
+                best = jnp.where(inside, best, 0.0)
+
+                def one(loc_i, best_i, idx_i):
+                    score, sel = jax.lax.top_k(best_i, topk)
+                    a = anchors[sel]
+                    d = loc_i[sel].astype(jnp.float32)
+                    aw = a[:, 2] - a[:, 0]
+                    ah = a[:, 3] - a[:, 1]
+                    cx = a[:, 0] + 0.5 * aw + d[:, 0] * 0.1 * aw
+                    cy = a[:, 1] + 0.5 * ah + d[:, 1] * 0.1 * ah
+                    w = jnp.exp(d[:, 2] * 0.2) * aw
+                    h = jnp.exp(d[:, 3] * 0.2) * ah
+                    boxes = jnp.stack([cx - w / 2, cy - h / 2,
+                                       cx + w / 2, cy + h / 2], -1)
+                    valid = score > 0.1
+                    keep = hard_nms(boxes, score, 0.3, valid=valid,
+                                    plus_one=True)
+                    xywh = jnp.stack([boxes[:, 0], boxes[:, 1],
+                                      boxes[:, 2] - boxes[:, 0],
+                                      boxes[:, 3] - boxes[:, 1]], -1)
+                    return (xywh, score,
+                            idx_i[sel].astype(jnp.float32) + 1.0,
+                            keep & valid)
+
+                xywh, score, classes, valid = jax.vmap(one)(loc, best, best_idx)
+                return xywh, score, classes, valid, vhw
+        elif name == "rrnet":
             @jax.jit
             def fn(variables, img_u8, valid_hw):
                 x, vhw = preprocess(img_u8, valid_hw)
@@ -196,13 +246,17 @@ class Evaluator:
                 rows[:, [1, 3]] /= ry
                 per_img[b].append(rows)
 
+        # RetinaNet already score-filtered and hard-NMS'd on device
+        # (the reference applies no further host NMS,
+        # retinanet_operator.py:250-258)
+        host_post = cfg.model.name != "retinanet" and not cfg.val.auto_test
         outs = []
         for parts in per_img:
             pred = np.concatenate(parts, axis=0)
-            if not cfg.val.auto_test:
+            if host_post:
                 pred = pred[pred[:, 4] > cfg.val.score_threshold]
             pred = pred[np.argsort(-pred[:, 4], kind="stable")]
-            if not cfg.val.auto_test:
+            if host_post:
                 pred = host_nms.per_class_soft_nms_xywh(
                     pred, Nt=cfg.model.soft_nms.iou_threshold,
                     threshold=cfg.model.soft_nms.score_threshold)

@@ -83,7 +83,16 @@ def test_mask_scales_contribution():
 
 def test_gradcheck_finite_difference():
     """Finite-difference gradcheck on all four inputs (the reference runs
-    torch.autograd.gradcheck, ext/dcn/test.py:69+)."""
+    torch.autograd.gradcheck, ext/dcn/test.py:69+). Needs f64."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _gradcheck_body()
+    finally:
+        jax.config.update("jax_enable_x64", old)
+
+
+def _gradcheck_body():
     rng = np.random.RandomState(4)
     x = rng.randn(1, 5, 5, 2).astype(np.float64)
     w = rng.randn(3, 3, 2, 3).astype(np.float64)

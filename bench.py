@@ -68,14 +68,24 @@ def main():
     ev.predict_batch(variants)
     warmup = time.time() - t0
 
-    # Timed: software-pipelined batches (dispatch k+1 before collecting k),
+    # Timed: 3-stage pipeline (upload thread -> compute -> host collect),
     # mirroring Evaluator.evaluate_split's execution pattern.
-    n_batches = 8
+    import queue as queue_mod
+    import threading
+
+    n_batches = 12
+    upq: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+    def uploader():
+        for _ in range(n_batches):
+            upq.put(ev._upload(variants))
+
     t0 = time.time()
+    threading.Thread(target=uploader, daemon=True).start()
     prev = None
     preds = None
     for i in range(n_batches):
-        handle = ev.dispatch_batch(variants)
+        handle = ev.dispatch_batch(upq.get())
         if prev is not None:
             preds = ev.collect(prev)
         prev = handle
@@ -91,9 +101,31 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
     }
-    print(json.dumps(result))
     print(f"# single-scale: warmup={warmup:.1f}s, {n} imgs in "
           f"{elapsed:.2f}s, {len(pred)} dets/img", file=sys.stderr)
+
+    # Secondary: compute-only ceiling (input pre-staged on device) — on a
+    # real TPU host the PCIe upload (~3MB/img) is negligible; in this dev
+    # environment the host->device tunnel (~20-60 MB/s, bursty) caps the
+    # end-to-end number above.
+    staged = ev._upload(variants)
+    ev.collect(ev.dispatch_batch(staged))
+    t0 = time.time()
+    m = 10
+    prev = None
+    for _ in range(m):
+        handle = ev.dispatch_batch(staged)
+        if prev is not None:
+            ev.collect(prev)
+        prev = handle
+    ev.collect(prev)
+    ceiling = m * batch / (time.time() - t0)
+    result["compute_ceiling_img_per_sec"] = round(ceiling, 3)
+    result["ceiling_vs_baseline"] = round(ceiling / BASELINE_IMG_PER_SEC, 3)
+    print(json.dumps(result))
+    print(f"# compute-only ceiling (device-resident input): "
+          f"{ceiling:.2f} img/s ({ceiling / BASELINE_IMG_PER_SEC:.2f}x baseline)",
+          file=sys.stderr)
 
     # Secondary: full competition TTA protocol (12 forwards/image).
     if os.environ.get("BENCH_FULL_TTA"):

@@ -208,21 +208,29 @@ class Evaluator:
     # ------------------------------------------------------------------
     def dispatch_batch(self, images):
         """Async-dispatch the full (scales x flips) program set for a
-        same-bucket image batch; returns a handle for `collect`."""
+        same-bucket image batch; returns a handle for `collect`.
+
+        `images` may be a list of HWC arrays or a pre-staged upload
+        (from `self._upload`, e.g. staged on a background thread so the
+        host->device transfer overlaps the previous batch's compute)."""
         cfg = self.cfg
-        dev_img, bucket, hws = self._upload(images)
+        if isinstance(images, tuple) and len(images) == 3:
+            dev_img, bucket, hws = images
+        else:
+            dev_img, bucket, hws = self._upload(images)
         vhw = jnp.asarray(hws, jnp.int32)
+        n = int(dev_img.shape[0])
         pending = []
         for scale in cfg.val.scales:
             scaled = self._scaled_shape(bucket, scale)
             flips = (True, False) if cfg.val.flip_tta else (False,)
             for flip in flips:
-                fn = self._predict_fn(bucket, scaled, flip, len(images))
+                fn = self._predict_fn(bucket, scaled, flip, n)
                 out = fn(self.variables, dev_img, vhw)
                 ry = scaled[0] / bucket[0]
                 rx = scaled[1] / bucket[1]
                 pending.append((out, flip, ry, rx))
-        return (pending, len(images))
+        return (pending, n)
 
     def collect(self, handle) -> List[np.ndarray]:
         """Fetch + host-post-process a dispatched batch -> per-image
@@ -289,21 +297,32 @@ class Evaluator:
             return (_round_up(img.shape[0], self.bucket_multiple),
                     _round_up(img.shape[1], self.bucket_multiple))
 
+        from concurrent.futures import ThreadPoolExecutor
+        uploader = ThreadPoolExecutor(max_workers=1)
+
         queues: Dict[Tuple[int, int], List] = {}
-        in_flight = []   # (handle, names)
+        staged = []      # (upload future, names) — transfer in progress
+        in_flight = []   # (handle, names) — compute in progress
         done = 0
 
-        def flush(q, pad_to: Optional[int] = None):
+        def pump():
+            """Advance the 3-stage pipeline: upload -> compute -> collect."""
             nonlocal done
+            while len(staged) > 1 or (staged and not in_flight):
+                fut, names = staged.pop(0)
+                in_flight.append((self.dispatch_batch(fut.result()), names))
+                if len(in_flight) > 1:
+                    done = _drain(in_flight.pop(0), done)
+
+        def flush(q, pad_to: Optional[int] = None):
             names = [it["name"] for it in q]
             imgs = [it["image"] for it in q]
             if pad_to and len(imgs) < pad_to:
                 # reuse the already-compiled batch program: pad with
                 # copies of the last image, outputs beyond `names` dropped
                 imgs = imgs + [imgs[-1]] * (pad_to - len(imgs))
-            in_flight.append((self.dispatch_batch(imgs), names))
-            if len(in_flight) > 1:
-                done = _drain(in_flight.pop(0), done)
+            staged.append((uploader.submit(self._upload, imgs), names))
+            pump()
 
         def _drain(entry, done):
             handle, names = entry
@@ -328,8 +347,12 @@ class Evaluator:
             # leftovers: pad to the batch size so the compiled batch
             # program is reused (extra outputs discarded)
             flush(q, pad_to=batch_size)
+        while staged:
+            fut, names = staged.pop(0)
+            in_flight.append((self.dispatch_batch(fut.result()), names))
         while in_flight:
             done = _drain(in_flight.pop(0), done)
+        uploader.shutdown()
         if verbose:
             print("\n=> Evaluation Done!")
         return result_dir

@@ -20,43 +20,47 @@ from rrnet_tpu.models.backbones.trident import TridentResNet
 
 
 def get_backbone(name: str, num_stacks: int = 2,
-                 bn_axis: Optional[str] = None, dtype: Any = None):
+                 bn_axis: Optional[str] = None, dtype: Any = None,
+                 module_name: str = "backbone"):
     """Build a backbone module by name (reference utils/model_tools.py:9-33).
 
     Pretrained-weight loading is a separate concern here — see
     rrnet_tpu.utils.convert (torch checkpoint -> flax params)."""
     if name == "resnet10":
-        return resnet10(bn_axis=bn_axis, dtype=dtype)
+        return resnet10(bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "resnet50":
-        return resnet50(bn_axis=bn_axis, dtype=dtype)
+        return resnet50(bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "resnet101":
-        return resnet101(bn_axis=bn_axis, dtype=dtype)
+        return resnet101(bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "hourglass":
-        return HourglassNet(num_stacks=num_stacks, bn_axis=bn_axis, dtype=dtype)
+        return HourglassNet(num_stacks=num_stacks, bn_axis=bn_axis,
+                            dtype=dtype, name=module_name)
     if name == "tiny_hourglass":
         # reduced-depth variant for tests / fast iteration (not in the
         # reference; same topology, fewer levels/channels)
         return HourglassNet(num_stacks=num_stacks, depth=2,
                             inplanes=(64, 64, 96), layer_nums=(1, 1, 1),
-                            num_feats=64, bn_axis=bn_axis, dtype=dtype)
+                            num_feats=64, bn_axis=bn_axis, dtype=dtype,
+                            name=module_name)
     if name == "dense_hourglass":
         return HourglassNet(num_stacks=num_stacks, dense=True,
-                            bn_axis=bn_axis, dtype=dtype)
+                            bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "se_hourglass":
         return HourglassNet(num_stacks=num_stacks, se=True, pool_stem=True,
-                            bn_axis=bn_axis, dtype=dtype)
+                            bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "hrnet":
-        return HRNetW48(bn_axis=bn_axis, dtype=dtype)
+        return HRNetW48(bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "hrnet32":
-        return HRNetW32(bn_axis=bn_axis, dtype=dtype)
+        return HRNetW32(bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name == "hrnetv2":
-        return HRNetV2(bn_axis=bn_axis, dtype=dtype)
+        return HRNetV2(bn_axis=bn_axis, dtype=dtype, name=module_name)
     if name.startswith("shufflenet"):
         mult = name.split("_")[1] if "_" in name else "1.0x"
-        return ShuffleNetV2(width=mult, bn_axis=bn_axis, dtype=dtype)
+        return ShuffleNetV2(width=mult, bn_axis=bn_axis, dtype=dtype,
+                            name=module_name)
     if name.startswith("trires"):
         depth = 101 if "101" in name else 50
         return TridentResNet(depth=depth, deform="deform" in name,
-                             bn_axis=bn_axis, dtype=dtype)
+                             bn_axis=bn_axis, dtype=dtype, name=module_name)
     # reference falls back to resnet50 for unknown names
-    return resnet50(bn_axis=bn_axis, dtype=dtype)
+    return resnet50(bn_axis=bn_axis, dtype=dtype, name=module_name)

@@ -191,7 +191,7 @@ class _HRNetBase(nn.Module):
 
 
 def HRNetW48(**kw):
-    return _HRNetBase(base_channels=48, name=None, **kw)
+    return _HRNetBase(base_channels=48, **kw)
 
 
 def HRNetW32(**kw):

@@ -15,7 +15,7 @@ from rrnet_tpu.models.backbones.hrnet import _HRNetBase
 
 
 def HRNetV2(norm_eval: bool = True, bn_axis: Optional[str] = None,
-            dtype: Any = None):
+            dtype: Any = None, **kw):
     return _HRNetBase(
         base_channels=40,
         stage_modules=(1, 4, 3),
@@ -23,4 +23,5 @@ def HRNetV2(norm_eval: bool = True, bn_axis: Optional[str] = None,
         norm_eval=norm_eval,
         bn_axis=bn_axis,
         dtype=dtype,
+        **kw,
     )

@@ -145,3 +145,31 @@ def giou(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def giou_loss(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean (1 - GIoU) loss (reference modules/loss/functional.py:158)."""
     return jnp.mean(1.0 - giou(output, target))
+
+
+def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Center-format [cx, cy, w, h] -> [x1, y1, x2, y2]
+    (reference utils/functional.py:18-26 'xywh2xyxy')."""
+    c = boxes[..., :2]
+    half = boxes[..., 2:4] / 2.0
+    return jnp.concatenate([c - half, c + half], axis=-1)
+
+
+def xyxy_to_cxcywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """[x1, y1, x2, y2] -> center-format [cx, cy, w, h]
+    (reference utils/functional.py:7-15 'xyxy2xywh')."""
+    c = (boxes[..., :2] + boxes[..., 2:4]) / 2.0
+    wh = boxes[..., 2:4] - boxes[..., :2]
+    return jnp.concatenate([c, wh], axis=-1)
+
+
+def scale_coords(img1_shape, coords, img0_shape):
+    """Rescale xyxy coords from a letterboxed img1_shape back to
+    img0_shape (reference utils/functional.py:29-36)."""
+    gain = max(img1_shape) / max(img0_shape)
+    pad_x = (img1_shape[1] - img0_shape[1] * gain) / 2
+    pad_y = (img1_shape[0] - img0_shape[0] * gain) / 2
+    out = jnp.stack([
+        coords[..., 0] - pad_x, coords[..., 1] - pad_y,
+        coords[..., 2] - pad_x, coords[..., 3] - pad_y], axis=-1)
+    return jnp.maximum(out / gain, 0.0)

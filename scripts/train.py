@@ -22,6 +22,46 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _visualize_batch(trainer, state, batch, cfg):
+    """Decode + draw predictions and GT for the first image of the batch
+    (the reference's per-print_interval TensorBoard images,
+    operators/centernet_operator.py:120-141)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rrnet_tpu.data.transforms import denormalize
+    from rrnet_tpu.ops.heatmap import topk_decode
+    from rrnet_tpu.utils.vis import visualize
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    img = np.asarray(batch["images"])[0:1]
+    outs = trainer.model.apply(variables, jnp.asarray(img), train=False)
+    if cfg.model.name == "rrnet":
+        hm, wh, off = outs.hms[-1], outs.whs[-1], outs.offsets[-1]
+    elif cfg.model.name == "centernet":
+        hm, wh, off = outs[0][-1], outs[1][-1], outs[2][-1]
+    else:
+        return []
+    dets = topk_decode(hm.astype(jnp.float32), wh.astype(jnp.float32),
+                       off.astype(jnp.float32), k=100,
+                       scale_factor=float(cfg.train.scale_factor))
+    boxes = np.asarray(dets.boxes[0])
+    scores = np.asarray(dets.scores[0])
+    classes = np.asarray(dets.classes[0]) + 1
+    keep = scores > 0.25
+    rows = np.concatenate([
+        boxes[keep, :2], boxes[keep, 2:4] - boxes[keep, :2],
+        scores[keep, None], classes[keep, None]], axis=1)
+
+    base = (np.clip(denormalize(img[0]), 0, 1) * 255).astype(np.uint8)
+    pred_img = visualize(base.copy(), rows, xywh=True, with_score=True)
+    gt = np.asarray(batch["annos"])[0][np.asarray(batch["valid"])[0]]
+    gt_img = visualize(base.copy(), gt[:, :6], xywh=True)
+    return [pred_img.astype(np.float32) / 255.0,
+            gt_img.astype(np.float32) / 255.0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="rrnet",
@@ -31,6 +71,9 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir or ckp-N path to resume from")
     ap.add_argument("--multihost", action="store_true")
+    ap.add_argument("--log-images", action="store_true",
+                    help="log pred/GT visualizations at print_interval "
+                         "(reference operators/*:146-176)")
     ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = ap.parse_args()
 
@@ -81,10 +124,14 @@ def main():
         if main_proc and step % cfg.train.print_interval == \
                 cfg.train.print_interval - 1:
             n = cfg.train.print_interval
-            logger.log({"scalar": {
+            log_data = {"scalar": {
                 **{f"train/{k}_loss" if k != "total" else "train/total_loss":
                    v / n for k, v in running.items()},
-            }}, step)
+            }}
+            if args.log_images:
+                log_data["imgs"] = {"train": _visualize_batch(
+                    trainer, state, batch, cfg)}
+            logger.log(log_data, step)
             running = {}
 
         if main_proc and (

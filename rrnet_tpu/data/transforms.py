@@ -420,9 +420,16 @@ def _fill_duck_inner(sample, rng, cls_list, factor):
 # pipelines
 # ---------------------------------------------------------------------------
 
-def train_pipeline(sample: Dict, rng: np.random.Generator, cfg) -> Dict:
+def train_pipeline(sample: Dict, rng: np.random.Generator, cfg,
+                   as_uint8: bool = True) -> Dict:
     """Full training transform chain (configs/rrnet_config.py:40-49,
-    minus device-side heatmap rendering)."""
+    minus device-side heatmap rendering).
+
+    With as_uint8=True (default) the image is emitted quantized to uint8
+    and NOT normalized — normalization happens on device inside the
+    train step, and the host->device transfer is 4x smaller. (The pixels
+    came from 8-bit JPEG anyway; re-quantization after the float
+    augmentations costs <1/255 amplitude.)"""
     t = cfg.train
     sample = multi_scale(sample, rng, t.multi_scales)
     sample = mask_ignore(sample, t.mean)
@@ -431,8 +438,10 @@ def train_pipeline(sample: Dict, rng: np.random.Generator, cfg) -> Dict:
                            t.fill_duck_factor)
     sample = horizontal_flip(sample, rng, t.hflip_prob)
     sample = random_crop(sample, rng, tuple(t.crop_size))
-    sample = normalize(sample, t.mean, t.std)
-    return sample
+    if as_uint8:
+        img = np.clip(sample["image"] * 255.0, 0, 255).astype(np.uint8)
+        return dict(sample, image=img)
+    return normalize(sample, t.mean, t.std)
 
 
 def val_pipeline(sample: Dict, cfg) -> Dict:

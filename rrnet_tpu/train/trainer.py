@@ -118,7 +118,16 @@ class Trainer:
         axis = self.cfg.mesh.data_axis
         model = self.model
 
+        mean = jnp.asarray(self.cfg.train.mean, jnp.float32)
+        std = jnp.asarray(self.cfg.train.std, jnp.float32)
+
         def step_fn(state: TrainState, images, annos, valid):
+            # uint8 batches are normalized on device (4x smaller host->
+            # device transfer); float batches are assumed pre-normalized
+            # (synthetic-test path).
+            if images.dtype == jnp.uint8:
+                images = (images.astype(jnp.float32) / 255.0 - mean) / std
+
             def loss_fn(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}

@@ -36,6 +36,13 @@ def _visualize_batch(trainer, state, batch, cfg):
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     img = np.asarray(batch["images"])[0:1]
+    if img.dtype == np.uint8:
+        base_u8 = img[0]
+        mean = np.asarray(cfg.train.mean, np.float32)
+        std = np.asarray(cfg.train.std, np.float32)
+        img = (img.astype(np.float32) / 255.0 - mean) / std
+    else:
+        base_u8 = None
     outs = trainer.model.apply(variables, jnp.asarray(img), train=False)
     if cfg.model.name == "rrnet":
         hm, wh, off = outs.hms[-1], outs.whs[-1], outs.offsets[-1]
@@ -54,7 +61,8 @@ def _visualize_batch(trainer, state, batch, cfg):
         boxes[keep, :2], boxes[keep, 2:4] - boxes[keep, :2],
         scores[keep, None], classes[keep, None]], axis=1)
 
-    base = (np.clip(denormalize(img[0]), 0, 1) * 255).astype(np.uint8)
+    base = (base_u8 if base_u8 is not None else
+            (np.clip(denormalize(img[0]), 0, 1) * 255).astype(np.uint8))
     pred_img = visualize(base.copy(), rows, xywh=True, with_score=True)
     gt = np.asarray(batch["annos"])[0][np.asarray(batch["valid"])[0]]
     gt_img = visualize(base.copy(), gt[:, :6], xywh=True)
@@ -112,27 +120,31 @@ def main():
         state = ckpt.restore_checkpoint(args.resume, state)
         print(f"resumed from step {int(state.step)}")
 
-    running = {}
+    running = []   # device metric dicts — materialized only at print time
     start = int(state.step)
     for step in range(start, cfg.train.iter_num):
         batch = trainer.shard(loader.get_batch())
         state, metrics = trainer.train_step(state, batch)
-
-        for k, v in metrics.items():
-            running[k] = running.get(k, 0.0) + float(v)
+        # keep metrics as device arrays: forcing floats every step would
+        # sync the host with the device and serialize the input pipeline
+        running.append(metrics)
 
         if main_proc and step % cfg.train.print_interval == \
                 cfg.train.print_interval - 1:
-            n = cfg.train.print_interval
+            n = len(running)
+            sums = {}
+            for m in running:
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
             log_data = {"scalar": {
                 **{f"train/{k}_loss" if k != "total" else "train/total_loss":
-                   v / n for k, v in running.items()},
+                   v / n for k, v in sums.items()},
             }}
             if args.log_images:
                 log_data["imgs"] = {"train": _visualize_batch(
                     trainer, state, batch, cfg)}
             logger.log(log_data, step)
-            running = {}
+            running = []
 
         if main_proc and (
                 step % cfg.train.checkpoint_interval ==

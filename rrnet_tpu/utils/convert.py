@@ -186,6 +186,105 @@ def convert_resnet_params(state_dict: Dict[str, np.ndarray],
     return params, stats, report
 
 
+def convert_hourglass_params(state_dict: Dict[str, np.ndarray],
+                             num_stacks: int = 2, depth: int = 5):
+    """Map the reference stacked-hourglass state dict
+    (backbones/hourglass.py — pre_layer / hgs.N recursive up1-low1-low2-
+    low3 / convs.N / inter_.N / conv_.N / residual.N) onto our
+    HourglassNet param/batch_stats trees. Returns (params, stats,
+    report)."""
+    params: Dict = {}
+    stats: Dict = {}
+    used = set()
+
+    def conv(torch_name):
+        used.add(torch_name + ".weight")
+        out = {"kernel": torch_conv_to_flax(state_dict[torch_name + ".weight"])}
+        if torch_name + ".bias" in state_dict:
+            used.add(torch_name + ".bias")
+            out["bias"] = state_dict[torch_name + ".bias"]
+        return out
+
+    def bn(torch_name):
+        for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+            used.add(torch_name + suf)
+        p = {"BatchNorm_0": {"scale": state_dict[torch_name + ".weight"],
+                             "bias": state_dict[torch_name + ".bias"]}}
+        s = {"BatchNorm_0": {"mean": state_dict[torch_name + ".running_mean"],
+                             "var": state_dict[torch_name + ".running_var"]}}
+        return p, s
+
+    def residual(torch_base, p_out, s_out, flax_name):
+        sub_p, sub_s = {}, {}
+        for ci in (1, 2):
+            sub_p[f"conv{ci}"] = conv(f"{torch_base}.conv{ci}")
+            bp, bs = bn(f"{torch_base}.bn{ci}")
+            sub_p[f"bn{ci}"] = bp
+            sub_s[f"bn{ci}"] = bs
+        if f"{torch_base}.skip_connection.0.weight" in state_dict:
+            sub_p["skip_conv"] = conv(f"{torch_base}.skip_connection.0")
+            bp, bs = bn(f"{torch_base}.skip_connection.1")
+            sub_p["skip_bn"] = bp
+            sub_s["skip_bn"] = bs
+        p_out[flax_name] = sub_p
+        s_out[flax_name] = sub_s
+
+    def seq_len(prefix):
+        n = 0
+        while f"{prefix}.{n}.conv1.weight" in state_dict:
+            n += 1
+        return n
+
+    def hourglass(torch_base, p_out, s_out, level):
+        for branch in ("up1", "low1", "low3"):
+            for j in range(seq_len(f"{torch_base}.{branch}")):
+                residual(f"{torch_base}.{branch}.{j}", p_out, s_out,
+                         f"{branch}_{j}")
+        if level > 1:
+            sub_p, sub_s = {}, {}
+            hourglass(f"{torch_base}.low2", sub_p, sub_s, level - 1)
+            p_out["low2"] = sub_p
+            s_out["low2"] = sub_s
+        else:
+            for j in range(seq_len(f"{torch_base}.low2")):
+                residual(f"{torch_base}.low2.{j}", p_out, s_out, f"low2_{j}")
+
+    # stem
+    params["pre_conv"] = conv("pre_layer.0")
+    bp, bs = bn("pre_layer.1")
+    params["pre_bn"] = bp
+    stats["pre_bn"] = bs
+    residual("pre_layer.3", params, stats, "pre_res")
+
+    for i in range(num_stacks):
+        sub_p, sub_s = {}, {}
+        hourglass(f"hgs.{i}", sub_p, sub_s, depth)
+        params[f"hg{i}"] = sub_p
+        stats[f"hg{i}"] = sub_s
+        # stack output ConvBN (torch ConvBNRelu: .conv/.bn)
+        oc_p = {"conv": conv(f"convs.{i}.conv")}
+        bp, bs = bn(f"convs.{i}.bn")
+        oc_p["bn"] = bp
+        params[f"out_conv{i}"] = oc_p
+        stats[f"out_conv{i}"] = {"bn": bs}
+        if i < num_stacks - 1:
+            ip = {"conv": conv(f"inter_.{i}.0")}
+            bp, bs = bn(f"inter_.{i}.1")
+            ip["bn"] = bp
+            params[f"inter{i}"] = ip
+            stats[f"inter{i}"] = {"bn": bs}
+            fp = {"conv": conv(f"conv_.{i}.0")}
+            bp, bs = bn(f"conv_.{i}.1")
+            fp["bn"] = bp
+            params[f"fuse{i}"] = fp
+            stats[f"fuse{i}"] = {"bn": bs}
+            residual(f"residual.{i}", params, stats, f"inter_res{i}")
+
+    unexpected = sorted(k for k in state_dict if k not in used
+                        and "num_batches_tracked" not in k)
+    return params, stats, {"unexpected": unexpected}
+
+
 def merge_pretrained(variables, pretrained_params, pretrained_stats,
                      scope: str = "backbone"):
     """Graft converted pretrained subtrees into an initialized variables

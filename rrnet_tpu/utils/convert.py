@@ -285,6 +285,88 @@ def convert_hourglass_params(state_dict: Dict[str, np.ndarray],
     return params, stats, {"unexpected": unexpected}
 
 
+def convert_detector_params(state_dict: Dict[str, np.ndarray],
+                            model: str = "centernet",
+                            num_stacks: int = 2, depth: int = 5):
+    """Full-model converter for reference CenterNet/RRNet checkpoints
+    (models/centernet.py / models/rrnet.py + detectors/*): hourglass
+    backbone + per-stack heads (+ RRNet's stage-2 FasterRCNNDetector).
+    Returns (params, stats, report)."""
+    bb_sd = {k[len("backbone."):]: v for k, v in state_dict.items()
+             if k.startswith("backbone.")}
+    params, stats, report = convert_hourglass_params(bb_sd, num_stacks, depth)
+    params = {"backbone": params}
+    stats = {"backbone": stats}
+    used = {"backbone." + k for k in bb_sd}
+
+    def conv(torch_name):
+        used.add(torch_name + ".weight")
+        out = {"kernel": torch_conv_to_flax(state_dict[torch_name + ".weight"])}
+        if torch_name + ".bias" in state_dict:
+            used.add(torch_name + ".bias")
+            out["bias"] = state_dict[torch_name + ".bias"]
+        return out
+
+    def bn(torch_name):
+        for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+            used.add(torch_name + suf)
+        p = {"BatchNorm_0": {"scale": state_dict[torch_name + ".weight"],
+                             "bias": state_dict[torch_name + ".bias"]}}
+        s = {"BatchNorm_0": {"mean": state_dict[torch_name + ".running_mean"],
+                             "var": state_dict[torch_name + ".running_var"]}}
+        return p, s
+
+    # CenterNetDetector heads: detect_layer.{i}.0.conv (BasicCov 3x3) +
+    # detect_layer.{i}.1 (1x1 out). Ours: conv{i} / out{i}.
+    def plain_head(torch_prefix):
+        p = {}
+        for i in range(num_stacks):
+            p[f"conv{i}"] = conv(f"{torch_prefix}.detect_layer.{i}.0.conv")
+            p[f"out{i}"] = conv(f"{torch_prefix}.detect_layer.{i}.1")
+        return p
+
+    # CenterNetWHDetector: detect_conv_layer.{i}.0.conv +
+    # detect_H_layer.{i}.0.conv (kx1) + detect_W_layer.{i}.0.conv (1xk)
+    def wh_head():
+        p = {}
+        for i in range(num_stacks):
+            p[f"conv{i}"] = conv(f"wh.detect_conv_layer.{i}.0.conv")
+            p[f"hconv{i}"] = conv(f"wh.detect_H_layer.{i}.0.conv")
+            p[f"wconv{i}"] = conv(f"wh.detect_W_layer.{i}.0.conv")
+        return p
+
+    params["hm"] = plain_head("hm")
+    params["wh"] = wh_head()
+    reg_name = "offset_reg" if model == "rrnet" else "reg"
+    our_reg = "offset" if model == "rrnet" else "reg"
+    params[our_reg] = plain_head(reg_name)
+
+    if model == "rrnet":
+        # FasterRCNNDetector: top_layer (Bottleneck 256->64x4) + regressor
+        hp, hs = {}, {}
+        sub_p, sub_s = {}, {}
+        for ci in (1, 2, 3):
+            sub_p[f"conv{ci}"] = conv(f"head_detector.top_layer.conv{ci}")
+            bp, bss = bn(f"head_detector.top_layer.bn{ci}")
+            sub_p[f"bn{ci}"] = bp
+            sub_s[f"bn{ci}"] = bss
+        hp["top"] = sub_p
+        hs["top"] = sub_s
+        w = state_dict["head_detector.regressor.weight"]   # (4, 256, 1, 1)
+        used.add("head_detector.regressor.weight")
+        used.add("head_detector.regressor.bias")
+        hp["regressor"] = {
+            "kernel": torch_linear_to_flax(w.reshape(w.shape[0], w.shape[1])),
+            "bias": state_dict["head_detector.regressor.bias"],
+        }
+        params["head_detector"] = hp
+        stats["head_detector"] = hs
+
+    unexpected = sorted(k for k in state_dict if k not in used
+                        and "num_batches_tracked" not in k)
+    return params, stats, {"unexpected": unexpected}
+
+
 def merge_pretrained(variables, pretrained_params, pretrained_stats,
                      scope: str = "backbone"):
     """Graft converted pretrained subtrees into an initialized variables

@@ -134,6 +134,38 @@ class TrainLoader:
         self._stop.set()
 
 
+class DevicePrefetcher:
+    """Wraps a TrainLoader: a background thread assembles batches AND
+    stages them onto the mesh (device_put), so the host->device transfer
+    of batch k+1 overlaps device compute of batch k. `get_batch()`
+    returns already-sharded device arrays."""
+
+    def __init__(self, loader: TrainLoader, shard_fn, depth: int = 2):
+        self.loader = loader
+        self.shard_fn = shard_fn
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self.shard_fn(self.loader.get_batch())
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def get_batch(self):
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()
+        self.loader.close()
+
+
 class ValLoader:
     """Sequential eval loader (batch 1, full-size raw uint8 images —
     normalization happens on device inside the Evaluator; names preserved

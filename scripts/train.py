@@ -93,7 +93,7 @@ def main():
     import numpy as np
 
     from rrnet_tpu import config as cfglib
-    from rrnet_tpu.data.loader import TrainLoader
+    from rrnet_tpu.data.loader import DevicePrefetcher, TrainLoader
     from rrnet_tpu.train import Trainer
     from rrnet_tpu.utils.logger import Logger
     from rrnet_tpu.utils import checkpoint as ckpt
@@ -111,9 +111,11 @@ def main():
     n_data = trainer.mesh.shape[cfg.mesh.data_axis]
     global_batch = cfg.train.batch_size * n_data
     local_batch = global_batch // jax.process_count()
-    loader = TrainLoader(cfg, local_batch,
-                         process_index=jax.process_index(),
-                         process_count=jax.process_count())
+    loader = DevicePrefetcher(
+        TrainLoader(cfg, local_batch,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count()),
+        trainer.shard)
 
     state = trainer.init_state()
     if args.resume:
@@ -123,7 +125,7 @@ def main():
     running = []   # device metric dicts — materialized only at print time
     start = int(state.step)
     for step in range(start, cfg.train.iter_num):
-        batch = trainer.shard(loader.get_batch())
+        batch = loader.get_batch()   # pre-sharded by DevicePrefetcher
         state, metrics = trainer.train_step(state, batch)
         # keep metrics as device arrays: forcing floats every step would
         # sync the host with the device and serialize the input pipeline

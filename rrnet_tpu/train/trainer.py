@@ -139,8 +139,20 @@ class Trainer:
             (total, (new_bs, ld)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             grads = jax.lax.pmean(grads, axis)
+            # Failure containment (the reference catches CUDA OOM and
+            # skips the step, rrnet_operator.py:120-126; the analogous
+            # TPU hazard is a non-finite loss/grad poisoning the params):
+            # if any replica produced a non-finite total loss, zero the
+            # update and keep the previous batch stats.
+            good = jax.lax.pmean(
+                jnp.isfinite(total).astype(jnp.float32), axis) >= 1.0
             metrics = jax.lax.pmean(dict(ld, total=total), axis)
-            new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+            metrics["skipped"] = 1.0 - good.astype(jnp.float32)
+            updated = state.apply_gradients(grads, new_batch_stats=new_bs)
+            # exact skip: select the pre-update state (incl. optimizer
+            # moments and step counter) when the batch was poisoned
+            new_state = jax.tree.map(
+                lambda n, o: jnp.where(good, n, o), updated, state)
             return new_state, metrics
 
         sharded = shard_map(

@@ -95,3 +95,23 @@ def test_grads_synced_across_shards():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_nonfinite_loss_skips_update():
+    """A poisoned batch (inf pixels -> non-finite loss) must not change
+    the params (the TPU analogue of the reference's OOM-skip)."""
+    cfg = tiny_cfg("centernet")
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    batch = synthetic_batch(8)
+    batch["images"] = jnp.asarray(
+        np.full((8, 64, 64, 3), np.inf, np.float32))
+    before = jax.tree.leaves(state.params)[0]
+    state, metrics = trainer.train_step(state, trainer.shard(batch))
+    after = jax.tree.leaves(state.params)[0]
+    assert float(metrics["skipped"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    # and a healthy batch afterwards still trains
+    state, metrics = trainer.train_step(state, trainer.shard(synthetic_batch(8)))
+    assert float(metrics["skipped"]) == 0.0
+    assert np.isfinite(float(metrics["total"]))

@@ -110,6 +110,10 @@ class ModelConfig:
 
     soft_nms: SoftNMSConfig = field(default_factory=SoftNMSConfig)
 
+    # Optional windowed self-attention on stack features (RRNet; realizes
+    # the reference's unwired SelfAttentionModule).
+    with_self_attention: bool = False
+
     # RetinaNet (reference modules/anchor.py + operators/retinanet_operator.py).
     anchor_levels: Tuple[int, ...] = (3, 4, 5)
     anchor_sizes: Tuple[int, ...] = (16, 64, 128)   # operator override :30
@@ -198,10 +202,24 @@ def retinanet_config(**overrides: Any) -> Config:
     return _apply_kw(cfg, overrides)
 
 
+def rrnet_hrnetv2_attention_config(**overrides: Any) -> Config:
+    """RRNet with the HRNetV2-w40 backbone and self-attention on stack
+    features — the 'rrnet_hrnetv2_attention' experiment configuration
+    (BASELINE configs; the reference defined but never wired the
+    attention module)."""
+    cfg = Config(
+        log_prefix="RRNetHRNetV2Attn",
+        model=ModelConfig(name="rrnet", backbone="hrnetv2", num_stacks=2,
+                          sync_bn=True, with_self_attention=True),
+    )
+    return _apply_kw(cfg, overrides)
+
+
 PRESETS = {
     "rrnet": rrnet_config,
     "centernet": centernet_config,
     "retinanet": retinanet_config,
+    "rrnet_hrnetv2_attention": rrnet_hrnetv2_attention_config,
 }
 
 

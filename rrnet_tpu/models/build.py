@@ -36,6 +36,7 @@ def build_model(cfg: Config, bn_axis: Optional[str] = None):
                      nms_iou=m.stage1_nms_iou,
                      soft_nms_sigma=m.soft_nms.sigma,
                      soft_nms_score_threshold=m.soft_nms.score_threshold,
+                     with_attention=m.with_self_attention,
                      bn_axis=axis, dtype=dtype)
     if m.name == "retinanet":
         from rrnet_tpu.models.retinanet import RetinaNet

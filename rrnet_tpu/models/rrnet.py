@@ -63,6 +63,15 @@ class RRNet(nn.Module):
     nms_iou: float = 0.7
     soft_nms_sigma: float = 0.5
     soft_nms_score_threshold: float = 0.1
+    # Optional local windowed self-attention on each stack feature
+    # (residual, zero-init output proj). The reference defines
+    # SelfAttentionModule but never wires it (modules/self_attention.py,
+    # SURVEY §2); this flag realizes the 'rrnet_hrnetv2_attention'
+    # configuration. Window params follow the module's own example
+    # (self_attention.py:97-102).
+    with_attention: bool = False
+    attention_kernel: int = 5
+    attention_dilation: int = 6
     bn_axis: Optional[str] = None
     dtype: Any = None
 
@@ -87,6 +96,15 @@ class RRNet(nn.Module):
         hms, whs, offsets = [], [], []
         for i in range(self.num_stacks):
             f = nn.relu(feats[i])
+            if self.with_attention:
+                from rrnet_tpu.models.modules import SelfAttentionModule
+                pad = self.attention_dilation * (self.attention_kernel // 2)
+                f = f + SelfAttentionModule(
+                    key_channels=64, value_channels=64,
+                    kernel_size=self.attention_kernel,
+                    dilation=self.attention_dilation, padding=pad,
+                    bn_axis=self.bn_axis, dtype=self.dtype,
+                    name=f"attention{i}")(f, train)
             hms.append(hm_head(f, i))
             whs.append(wh_head(f, i))
             offsets.append(off_head(f, i))

@@ -111,3 +111,19 @@ def test_hrnet_pose_single_output():
     outs = bb.apply(variables, x, train=False)
     assert len(outs) == 1
     assert outs[0].shape == (1, 16, 16, 32)
+
+
+def test_rrnet_hrnetv2_attention_preset():
+    """The 'rrnet_hrnetv2_attention' configuration: HRNetV2 backbone
+    (first two branches drive the two 'stacks') + windowed self-attention
+    with zero-init projection (initial forward == no-attention forward)."""
+    cfg = cfglib.PRESETS["rrnet_hrnetv2_attention"]()
+    cfg = cfglib.set_by_path(cfg, "model.topk", 32)
+    cfg = cfglib.set_by_path(cfg, "model.stage2_rois", 8)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    names = str(jax.tree_util.tree_structure(variables["params"]))
+    assert "attention0" in names and "attention1" in names
+    out = model.apply(variables, x, train=False)
+    assert out.stage2_reg.shape == (1, 8, 4)

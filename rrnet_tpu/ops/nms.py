@@ -206,7 +206,9 @@ def batched_nms(
     path when class count is large. Returns (K,) keep mask."""
     if valid is None:
         valid = jnp.ones(boxes.shape[0], dtype=bool)
-    span = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+    # span must exceed the full coordinate EXTENT (boxes may have
+    # negative coords after decode), or adjacent class blocks could touch
+    span = 2.0 * jnp.max(jnp.where(valid[:, None], jnp.abs(boxes), 0.0)) + 1.0
     offset = class_ids.astype(boxes.dtype)[:, None] * span
     shifted = boxes + offset
     return hard_nms(shifted, scores, iou_threshold, valid=valid)

@@ -58,11 +58,11 @@ def main():
     # the pipeline cannot benefit from value caching.
     rng = np.random.RandomState(0)
     variants = []
-    for _ in range(8):
+    for _ in range(16):
         dy, dx = rng.randint(0, 16, 2)
         variants.append(np.roll(image, (dy, dx), axis=(0, 1)))
 
-    batch = 8
+    batch = 16
     # Warmup/compile (batch program).
     t0 = time.time()
     ev.predict_batch(variants)
@@ -73,7 +73,7 @@ def main():
     import queue as queue_mod
     import threading
 
-    n_batches = 12
+    n_batches = 8
     upq: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
 
     def uploader():

@@ -22,3 +22,18 @@ Design stance (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from rrnet_tpu import config as config  # noqa: F401
+
+_LAZY = {
+    "Trainer": ("rrnet_tpu.train", "Trainer"),
+    "Evaluator": ("rrnet_tpu.evallib.infer", "Evaluator"),
+    "build_model": ("rrnet_tpu.models", "build_model"),
+    "create_mesh": ("rrnet_tpu.parallel", "create_mesh"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'rrnet_tpu' has no attribute {name!r}")

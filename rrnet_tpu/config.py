@@ -78,6 +78,11 @@ class ValConfig:
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     result_dir: str = "./results"
     max_det: int = 500           # reference utils/metrics/metrics.py max_det_num
+    # Host->device image transport: 'yuv420' ships JPEG-native planes
+    # (Y full-res + 2x2-subsampled CbCr = 1.5 B/px) and reconstructs RGB
+    # on device — half the bytes of 'rgb' (3 B/px) with no information
+    # the 4:2:0 source JPEGs ever carried. 'rgb' ships raw uint8 RGB.
+    transport: str = "yuv420"
 
 
 @dataclass

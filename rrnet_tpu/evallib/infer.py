@@ -47,6 +47,41 @@ def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+# BT.601 full-range (JPEG/JFIF) colorspace constants. VisDrone images are
+# 4:2:0 JPEGs, so the CbCr planes at half resolution are exactly what the
+# source files carry — shipping them instead of upsampled RGB halves the
+# host->device bytes without discarding any source information.
+def rgb_to_yuv420(rgb_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, H, W, 3) uint8 RGB -> (Y (B,H,W), CbCr (B,H/2,W/2,2)) uint8.
+    H and W must be even (bucket shapes are multiples of 64/128)."""
+    f = rgb_u8.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    bs, h, w = y.shape
+    cb = cb.reshape(bs, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    cr = cr.reshape(bs, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    y_u8 = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+    uv_u8 = np.clip(np.stack([cb, cr], -1) + 0.5, 0, 255).astype(np.uint8)
+    return y_u8, uv_u8
+
+
+def _yuv420_to_rgb_device(y_u8: jnp.ndarray, uv_u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of rgb_to_yuv420: bilinear chroma upsample +
+    BT.601 full-range matrix. Returns float RGB in [0, 255]."""
+    y = y_u8.astype(jnp.float32)
+    b, h, w = y.shape
+    uv = jax.image.resize(uv_u8.astype(jnp.float32), (b, h, w, 2),
+                          method="bilinear")
+    cb = uv[..., 0] - 128.0
+    cr = uv[..., 1] - 128.0
+    rgb = jnp.stack([y + 1.402 * cr,
+                     y - 0.344136 * cb - 0.714136 * cr,
+                     y + 1.772 * cb], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0)
+
+
 def _flip_valid_width(img: jnp.ndarray, w_valid: jnp.ndarray) -> jnp.ndarray:
     """Horizontally flip only the first w_valid columns of (B, H, W, C)
     (keeps content left-aligned so extent masking still applies)."""
@@ -62,7 +97,8 @@ class Evaluator:
     [x, y, w, h, score, cls(1-based)] detections in original pixels."""
 
     def __init__(self, cfg: Config, variables, model=None,
-                 bucket_multiple: int = 128, decode_topk: int = 250):
+                 bucket_multiple: int = 128, decode_topk: int = 250,
+                 upload_streams: int = 4):
         self.cfg = cfg
         self.model = model if model is not None else build_model(cfg)
         self.variables = variables
@@ -70,6 +106,14 @@ class Evaluator:
         self.decode_topk = decode_topk
         self.mean = np.asarray(cfg.val.mean, np.float32)
         self.std = np.asarray(cfg.val.std, np.float32)
+        self.transport = getattr(cfg.val, "transport", "rgb")
+        # Images ship as ONE flat uint8 buffer per batch, split into
+        # `upload_streams` concurrent device_puts: flat buffers take the
+        # raw transfer path (no host-side relayout for tiled device
+        # layouts), and parallel streams keep the link busy when the
+        # transport is latency-bound. The jitted program reassembles.
+        self.upload_streams = max(1, int(upload_streams))
+        self._upload_pool = None
         self._compiled: Dict[Tuple, callable] = {}
 
     # ------------------------------------------------------------------
@@ -88,9 +132,22 @@ class Evaluator:
         mean = jnp.asarray(self.mean)
         std = jnp.asarray(self.std)
         sh, sw = scaled
+        transport = self.transport
 
-        def preprocess(img_u8, valid_hw):
-            x = img_u8.astype(jnp.float32) / 255.0
+        bh, bw = bucket
+
+        def preprocess(payload, valid_hw):
+            flat = (payload[0] if len(payload) == 1
+                    else jnp.concatenate(payload))
+            if transport == "yuv420":
+                n = flat.shape[0] // (bh * bw * 3 // 2)
+                y_u8 = flat[:n * bh * bw].reshape(n, bh, bw)
+                uv_u8 = flat[n * bh * bw:].reshape(
+                    n, bh // 2, bw // 2, 2)
+                x = _yuv420_to_rgb_device(y_u8, uv_u8) / 255.0
+            else:
+                n = flat.shape[0] // (bh * bw * 3)
+                x = flat.reshape(n, bh, bw, 3).astype(jnp.float32) / 255.0
             x = (x - mean) / std
             if scaled != bucket:
                 x = jax.image.resize(
@@ -103,6 +160,15 @@ class Evaluator:
             if flip:
                 x = _flip_valid_width(x, vhw[:, 1])
             return x, vhw
+
+        def pack(xywh, score, classes, valid):
+            """One (B, K, 6) [x,y,w,h,score,cls] output per program —
+            invalid rows get score -1 — so `collect` makes a single
+            device->host fetch per program (the per-fetch round-trip
+            over a remote link dominates at these sizes)."""
+            score = jnp.where(valid, score, -1.0)
+            return jnp.concatenate(
+                [xywh, score[..., None], classes[..., None]], axis=-1)
 
         if name == "retinanet":
             # reference operators/retinanet_operator.py:179-258: per-anchor
@@ -118,8 +184,8 @@ class Evaluator:
             topk = min(self.decode_topk * 4, anchors.shape[0])
 
             @jax.jit
-            def fn(variables, img_u8, valid_hw):
-                x, vhw = preprocess(img_u8, valid_hw)
+            def fn(variables, payload, valid_hw):
+                x, vhw = preprocess(payload, valid_hw)
                 loc, cls = model.apply(variables, x, train=False)
                 prob = jax.nn.sigmoid(cls.astype(jnp.float32))
                 best, best_idx = prob.max(-1), prob.argmax(-1)
@@ -153,24 +219,24 @@ class Evaluator:
                             keep & valid)
 
                 xywh, score, classes, valid = jax.vmap(one)(loc, best, best_idx)
-                return xywh, score, classes, valid, vhw
+                return pack(xywh, score, classes, valid)
         elif name == "rrnet":
             @jax.jit
-            def fn(variables, img_u8, valid_hw):
-                x, vhw = preprocess(img_u8, valid_hw)
+            def fn(variables, payload, valid_hw):
+                x, vhw = preprocess(payload, valid_hw)
                 outs = model.apply(variables, x, train=False, valid_hw=vhw)
                 rois_xyxy = outs.rois * s
                 rois_xywh = jnp.concatenate(
                     [rois_xyxy[..., :2],
                      rois_xyxy[..., 2:4] - rois_xyxy[..., :2]], -1)
                 s2_xywh = decode_boxes(rois_xywh, outs.stage2_reg)
-                return (s2_xywh, outs.roi_scores,
-                        outs.roi_classes.astype(jnp.float32) + 1.0,
-                        outs.roi_valid, vhw)
+                return pack(s2_xywh, outs.roi_scores,
+                            outs.roi_classes.astype(jnp.float32) + 1.0,
+                            outs.roi_valid)
         else:
             @jax.jit
-            def fn(variables, img_u8, valid_hw):
-                x, vhw = preprocess(img_u8, valid_hw)
+            def fn(variables, payload, valid_hw):
+                x, vhw = preprocess(payload, valid_hw)
                 hms, whs, regs = model.apply(variables, x, train=False)
                 hm = mask_heatmap_extent(hms[-1].astype(jnp.float32), vhw, s)
                 dets = topk_decode(hm, whs[-1].astype(jnp.float32),
@@ -179,16 +245,18 @@ class Evaluator:
                 xywh = jnp.concatenate(
                     [dets.boxes[..., :2],
                      dets.boxes[..., 2:4] - dets.boxes[..., :2]], -1)
-                valid = dets.scores > 0
-                return (xywh, dets.scores,
-                        dets.classes.astype(jnp.float32) + 1.0, valid, vhw)
+                return pack(xywh, dets.scores,
+                            dets.classes.astype(jnp.float32) + 1.0,
+                            dets.scores > 0)
 
         self._compiled[key] = fn
         return fn
 
     # ------------------------------------------------------------------
     def _upload(self, images):
-        """Pad a list of same-bucket images and ship ONE uint8 batch."""
+        """Pad a list of same-bucket images and ship them as ONE batch:
+        uint8 RGB, or (for transport='yuv420') Y + half-res CbCr planes
+        at half the bytes."""
         hs = [im.shape[0] for im in images]
         ws = [im.shape[1] for im in images]
         bh = _round_up(max(hs), self.bucket_multiple)
@@ -198,8 +266,21 @@ class Evaluator:
             if im.dtype != np.uint8:
                 im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
             padded[i, :im.shape[0], :im.shape[1]] = im
-        dev = jax.device_put(padded)
-        return dev, (bh, bw), list(zip(hs, ws))
+        if self.transport == "yuv420":
+            y, uv = rgb_to_yuv420(padded)
+            flat = np.concatenate([y.reshape(-1), uv.reshape(-1)])
+        else:
+            flat = padded.reshape(-1)
+        if self.upload_streams == 1:
+            payload = (jax.device_put(flat),)
+        else:
+            if self._upload_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._upload_pool = ThreadPoolExecutor(
+                    max_workers=self.upload_streams)
+            chunks = np.array_split(flat, self.upload_streams)
+            payload = tuple(self._upload_pool.map(jax.device_put, chunks))
+        return payload, (bh, bw), list(zip(hs, ws))
 
     def _scaled_shape(self, bucket, scale):
         return (_round_up(int(bucket[0] * scale), self.bucket_multiple),
@@ -215,41 +296,39 @@ class Evaluator:
         host->device transfer overlaps the previous batch's compute)."""
         cfg = self.cfg
         if isinstance(images, tuple) and len(images) == 3:
-            dev_img, bucket, hws = images
+            payload, bucket, hws = images
         else:
-            dev_img, bucket, hws = self._upload(images)
+            payload, bucket, hws = self._upload(images)
         vhw = jnp.asarray(hws, jnp.int32)
-        n = int(dev_img.shape[0])
+        n = len(hws)
         pending = []
         for scale in cfg.val.scales:
             scaled = self._scaled_shape(bucket, scale)
             flips = (True, False) if cfg.val.flip_tta else (False,)
             for flip in flips:
                 fn = self._predict_fn(bucket, scaled, flip, n)
-                out = fn(self.variables, dev_img, vhw)
+                out = fn(self.variables, payload, vhw)
                 ry = scaled[0] / bucket[0]
                 rx = scaled[1] / bucket[1]
                 pending.append((out, flip, ry, rx))
-        return (pending, n)
+        return (pending, n, hws)
 
     def collect(self, handle) -> List[np.ndarray]:
         """Fetch + host-post-process a dispatched batch -> per-image
         (N, 6) xywh+score+cls rows sorted by score."""
         cfg = self.cfg
-        pending, n = handle
+        pending, n, hws = handle
         per_img: List[List[np.ndarray]] = [[] for _ in range(n)]
-        for (xywh, scores, classes, valid, vhw_s), flip, ry, rx in pending:
-            xywh = np.asarray(xywh, np.float64)
-            scores = np.asarray(scores, np.float64)
-            classes = np.asarray(classes, np.float64)
-            valid = np.asarray(valid)
-            vhw_s = np.asarray(vhw_s)
+        for packed, flip, ry, rx in pending:
+            packed = np.asarray(packed, np.float64)
             for b in range(n):
-                rows = np.concatenate(
-                    [xywh[b], scores[b][:, None], classes[b][:, None]],
-                    axis=1)[valid[b]]
+                rows = packed[b][packed[b, :, 4] >= 0.0]
                 if flip:
-                    rows[:, 0] = vhw_s[b, 1] - rows[:, 0] - rows[:, 2]
+                    # scaled valid width, matching preprocess's
+                    # float32 ceil(valid_w * rx)
+                    w_s = float(np.ceil(np.float32(hws[b][1]) *
+                                        np.float32(rx)))
+                    rows[:, 0] = w_s - rows[:, 0] - rows[:, 2]
                 rows[:, [0, 2]] /= rx
                 rows[:, [1, 3]] /= ry
                 per_img[b].append(rows)

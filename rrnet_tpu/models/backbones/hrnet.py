@@ -28,6 +28,26 @@ from flax import linen as nn
 from rrnet_tpu.models.layers import BatchNorm, Bottleneck, torch_conv_init
 
 
+def _resize_bilinear_align_corners(x, oh: int, ow: int):
+    """Bilinear resize with corner-aligned sampling (torch
+    align_corners=True), used by the HRNetV2 output upsample
+    (reference hrnetv2.py:512-517). jax.image.resize uses half-pixel
+    centers, which differs at the borders."""
+    b, h, w, c = x.shape
+    ys = jnp.linspace(0.0, h - 1.0, oh)
+    xs = jnp.linspace(0.0, w - 1.0, ow)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wy = (ys - y0)[:, None, None]
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wx = (xs - x0)[None, :, None]
+    xr0, xr1 = x[:, y0], x[:, y1]
+    top = xr0[:, :, x0] * (1 - wx) + xr0[:, :, x1] * wx
+    bot = xr1[:, :, x0] * (1 - wx) + xr1[:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 class BasicBlock(nn.Module):
     """ResNet BasicBlock, expansion 1 (reference hrnet.py:45-74)."""
     planes: int
@@ -180,13 +200,13 @@ class _HRNetBase(nn.Module):
 
         if not self.last_multi_scale:
             return [xs[0]]
-        # HRNetV2: upsample branches 1..3 to stride 4 (bilinear).
+        # HRNetV2: upsample branches 1..3 to stride 4 (bilinear,
+        # corner-aligned like the reference hrnetv2.py:512-517).
         target = xs[0].shape
         outs = [xs[0]]
         for i in range(1, 4):
-            y = jax.image.resize(
-                xs[i], target[:-1] + (xs[i].shape[-1],), method="bilinear")
-            outs.append(y)
+            outs.append(_resize_bilinear_align_corners(
+                xs[i], target[1], target[2]))
         return outs
 
 

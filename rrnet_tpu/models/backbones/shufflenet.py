@@ -68,7 +68,7 @@ class InvertedResidual(nn.Module):
         kw = dict(bn_axis=self.bn_axis, dtype=self.dtype)
         if self.stride == 1:
             x1, x2 = jnp.split(x, 2, axis=-1)
-            b = _ConvBNRelu(half, 1, name="b2_pw")(x2, train)
+            b = _ConvBNRelu(half, 1, name="b2_pw", **kw)(x2, train)
             b = _ConvBNRelu(half, 3, stride=1, groups=half, relu=False,
                             name="b2_dw", **kw)(b, train)
             b = _ConvBNRelu(half, 1, name="b2_pwl", **kw)(b, train)

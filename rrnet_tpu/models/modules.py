@@ -129,3 +129,71 @@ class SelfAttentionModule(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros, name="W")(context)
         return _resize_bilinear(context, (in_h, in_w))
+
+
+class DCNPooling(nn.Module):
+    """Deformable PSROI pooling with a learned per-ROI offset trunk
+    (ext/dcn/dcn_v2.py:223-303).
+
+    Two-pass design like the reference: (1) plain (no-trans) PSROI
+    pooling of each ROI, (2) a 3-layer FC trunk on the pooled features
+    predicts per-bin offsets o1/o2 and a mask (final layer zero-init,
+    so at init offsets are 0 and mask logits are 0 -> sigmoid 0.5),
+    (3) pooling re-run with the offsets and multiplied by the mask.
+    With `no_trans=True` this reduces to a single plain pooling pass.
+
+    feat: (B, H, W, C); rois: (R, 5) [batch_idx, x1, y1, x2, y2].
+    Returns (R, pooled, pooled, output_dim).
+    """
+    spatial_scale: float = 1.0
+    pooled_size: int = 7
+    output_dim: int = 256
+    no_trans: bool = False
+    group_size: int = 1
+    part_size: Optional[int] = None
+    sample_per_part: int = 4
+    trans_std: float = 0.1
+    deform_fc_dim: int = 1024
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feat, rois):
+        from rrnet_tpu.ops.dcn import deform_psroi_pooling
+
+        p = self.pooled_size
+        kw = dict(spatial_scale=self.spatial_scale, pooled_size=p,
+                  output_dim=self.output_dim, group_size=self.group_size,
+                  part_size=self.part_size,
+                  sample_per_part=self.sample_per_part)
+        b = feat.shape[0]
+        b_idx = jnp.clip(rois[:, 0].astype(jnp.int32), 0, b - 1)
+
+        def pool_all(trans, trans_std):
+            # static loop over images; each ROI selects its image's rows
+            per_img = jnp.stack([
+                deform_psroi_pooling(feat[i], rois, trans,
+                                     trans_std=trans_std,
+                                     no_trans=trans is None, **kw)
+                for i in range(b)])                      # (B, R, p, p, C)
+            return per_img[b_idx, jnp.arange(rois.shape[0])]
+
+        base = pool_all(None, 0.0)                       # (R, p, p, C)
+        if self.no_trans:
+            return base
+
+        # FC trunk; flatten in torch (C, ph, pw) order so reference
+        # checkpoints remain convertible.
+        r = rois.shape[0]
+        x = base.transpose(0, 3, 1, 2).reshape(r, -1)
+        x = nn.relu(nn.Dense(self.deform_fc_dim, dtype=self.dtype,
+                             name="fc1")(x))
+        x = nn.relu(nn.Dense(self.deform_fc_dim, dtype=self.dtype,
+                             name="fc2")(x))
+        x = nn.Dense(3 * p * p, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros, name="fc3")(x)
+        x = x.reshape(r, 3, p, p)
+        offset = x[:, :2]                                # (R, 2, p, p)
+        mask = jax.nn.sigmoid(x[:, 2:])                  # (R, 1, p, p)
+        out = pool_all(offset, self.trans_std)
+        return out * mask.transpose(0, 2, 3, 1)          # (R, p, p, 1)

@@ -285,6 +285,196 @@ def convert_hourglass_params(state_dict: Dict[str, np.ndarray],
     return params, stats, {"unexpected": unexpected}
 
 
+def convert_hrnet_params(state_dict: Dict[str, np.ndarray],
+                         stage_modules: Tuple[int, int, int] = (1, 4, 3)):
+    """Map an HRNet state dict onto our _HRNetBase param/batch_stats
+    trees. One mapping covers both reference variants — the pose-style
+    HRNet-w48/w32 (backbones/hrnet.py:148-266, loads
+    pose_hrnet_w48_384x288.pth) and HRNetV2-w40 (backbones/hrnetv2.py:
+    322-541, loads hrnetv2_w40_imagenet_pretrained.pth) — because both
+    share the conv1/bn1..layer1/transition{n}/stage{n}.{m}.branches/
+    fuse_layers key scheme. Returns (params, stats, report)."""
+    params: Dict = {}
+    stats: Dict = {}
+    used = set()
+
+    def conv(torch_name):
+        used.add(torch_name + ".weight")
+        out = {"kernel": torch_conv_to_flax(state_dict[torch_name + ".weight"])}
+        if torch_name + ".bias" in state_dict:
+            used.add(torch_name + ".bias")
+            out["bias"] = state_dict[torch_name + ".bias"]
+        return out
+
+    def bn(torch_name):
+        for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+            used.add(torch_name + suf)
+        p = {"BatchNorm_0": {"scale": state_dict[torch_name + ".weight"],
+                             "bias": state_dict[torch_name + ".bias"]}}
+        s = {"BatchNorm_0": {"mean": state_dict[torch_name + ".running_mean"],
+                             "var": state_dict[torch_name + ".running_var"]}}
+        return p, s
+
+    def conv_bn(flax_name, conv_name, bn_name):
+        """_ConvBNRelu submodule: {conv, bn}."""
+        p = {"conv": conv(conv_name)}
+        bp, bs = bn(bn_name)
+        p["bn"] = bp
+        params[flax_name] = p
+        stats[flax_name] = {"bn": bs}
+
+    # Stem.
+    conv_bn("stem1", "conv1", "bn1")
+    conv_bn("stem2", "conv2", "bn2")
+
+    # Stage 1: 4 bottlenecks (+ downsample on block 0).
+    for b in range(4):
+        base = f"layer1.{b}"
+        sub_p, sub_s = {}, {}
+        for ci in (1, 2, 3):
+            sub_p[f"conv{ci}"] = conv(f"{base}.conv{ci}")
+            bp, bs = bn(f"{base}.bn{ci}")
+            sub_p[f"bn{ci}"] = bp
+            sub_s[f"bn{ci}"] = bs
+        if f"{base}.downsample.0.weight" in state_dict:
+            sub_p["downsample_conv"] = conv(f"{base}.downsample.0")
+            bp, bs = bn(f"{base}.downsample.1")
+            sub_p["downsample_bn"] = bp
+            sub_s["downsample_bn"] = bs
+        params[f"layer1_{b}"] = sub_p
+        stats[f"layer1_{b}"] = sub_s
+
+    # Transitions. transition{n}.{i} is Sequential(conv, bn, relu) when
+    # reshaping an existing branch, and Sequential(Sequential(conv, bn,
+    # relu)) when creating a new (downsampled) branch.
+    conv_bn("trans1_0", "transition1.0.0", "transition1.0.1")
+    conv_bn("trans1_1", "transition1.1.0.0", "transition1.1.0.1")
+    conv_bn("trans2_2", "transition2.2.0.0", "transition2.2.0.1")
+    conv_bn("trans3_3", "transition3.3.0.0", "transition3.3.0.1")
+
+    # Exchange stages.
+    for s_idx, n_modules in enumerate(stage_modules):
+        stage = s_idx + 2                      # stage2 / stage3 / stage4
+        n_branches = stage
+        for m in range(n_modules):
+            tbase = f"stage{stage}.{m}"
+            sub_p, sub_s = {}, {}
+
+            def sconv_bn(flax_name, conv_name, bn_name):
+                p = {"conv": conv(conv_name)}
+                bp, bs = bn(bn_name)
+                p["bn"] = bp
+                sub_p[flax_name] = p
+                sub_s[flax_name] = {"bn": bs}
+
+            for j in range(n_branches):
+                for b in range(4):
+                    bb = f"{tbase}.branches.{j}.{b}"
+                    bp_, bs_ = {}, {}
+                    for ci in (1, 2):
+                        bp_[f"conv{ci}"] = conv(f"{bb}.conv{ci}")
+                        p2, s2 = bn(f"{bb}.bn{ci}")
+                        bp_[f"bn{ci}"] = p2
+                        bs_[f"bn{ci}"] = s2
+                    sub_p[f"branch{j}_block{b}"] = bp_
+                    sub_s[f"branch{j}_block{b}"] = bs_
+            for i in range(n_branches):
+                for j in range(n_branches):
+                    fl = f"{tbase}.fuse_layers.{i}.{j}"
+                    if i < j and fl + ".0.weight" in state_dict:
+                        sub_p[f"fuse{i}_{j}_conv"] = conv(fl + ".0")
+                        bp, bs = bn(fl + ".1")
+                        sub_p[f"fuse{i}_{j}_bn"] = bp
+                        sub_s[f"fuse{i}_{j}_bn"] = bs
+                    elif i > j:
+                        for k in range(i - j):
+                            if f"{fl}.{k}.0.weight" not in state_dict:
+                                break
+                            sconv_bn(f"fuse{i}_{j}_down{k}",
+                                     f"{fl}.{k}.0", f"{fl}.{k}.1")
+            params[f"stage{stage}_{m}"] = sub_p
+            stats[f"stage{stage}_{m}"] = sub_s
+
+    unexpected = sorted(
+        k for k in state_dict if k not in used
+        and "num_batches_tracked" not in k
+        and not k.startswith("final_layer."))   # pose head, unused
+    return params, stats, {"unexpected": unexpected}
+
+
+def convert_shufflenet_params(state_dict: Dict[str, np.ndarray],
+                              stage_repeats: Tuple[int, ...] = (4, 8, 4)):
+    """Map the reference ShuffleNetV2 state dict (backbones/
+    shufflenet.py:113-172: conv1 / flat features.{idx} InvertedResidual
+    units with banch1/banch2 Sequentials / conv_last) onto our
+    ShuffleNetV2 trees. Returns (params, stats, report)."""
+    params: Dict = {}
+    stats: Dict = {}
+    used = set()
+
+    def conv(torch_name):
+        used.add(torch_name + ".weight")
+        w = state_dict[torch_name + ".weight"]
+        if w.shape[1] == 1 and w.shape[0] > 1:
+            # torch depthwise (C, 1, kh, kw) -> flax
+            # feature_group_count=C kernels (kh, kw, 1, C)
+            k = np.transpose(w, (2, 3, 1, 0))
+        else:
+            k = torch_conv_to_flax(w)
+        out = {"kernel": k}
+        if torch_name + ".bias" in state_dict:
+            used.add(torch_name + ".bias")
+            out["bias"] = state_dict[torch_name + ".bias"]
+        return out
+
+    def bn(torch_name):
+        for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+            used.add(torch_name + suf)
+        p = {"BatchNorm_0": {"scale": state_dict[torch_name + ".weight"],
+                             "bias": state_dict[torch_name + ".bias"]}}
+        s = {"BatchNorm_0": {"mean": state_dict[torch_name + ".running_mean"],
+                             "var": state_dict[torch_name + ".running_var"]}}
+        return p, s
+
+    def conv_bn(flax_name, conv_name, bn_name, p_out, s_out):
+        p = {"conv": conv(conv_name)}
+        bp, bs = bn(bn_name)
+        p["bn"] = bp
+        p_out[flax_name] = p
+        s_out[flax_name] = {"bn": bs}
+
+    conv_bn("conv1", "conv1.0", "conv1.1", params, stats)
+
+    idx = 0
+    for stage, repeats in enumerate(stage_repeats):
+        for i in range(repeats):
+            base = f"features.{idx}"
+            idx += 1
+            sub_p, sub_s = {}, {}
+            if i == 0:   # stride-2 unit: banch1 = [dw, bn, pwl, bn, relu]
+                conv_bn("b1_dw", f"{base}.banch1.0", f"{base}.banch1.1",
+                        sub_p, sub_s)
+                conv_bn("b1_pwl", f"{base}.banch1.2", f"{base}.banch1.3",
+                        sub_p, sub_s)
+            # banch2 = [pw, bn, relu, dw, bn, pwl, bn, relu]
+            conv_bn("b2_pw", f"{base}.banch2.0", f"{base}.banch2.1",
+                    sub_p, sub_s)
+            conv_bn("b2_dw", f"{base}.banch2.3", f"{base}.banch2.4",
+                    sub_p, sub_s)
+            conv_bn("b2_pwl", f"{base}.banch2.5", f"{base}.banch2.6",
+                    sub_p, sub_s)
+            params[f"stage{stage}_{i}"] = sub_p
+            stats[f"stage{stage}_{i}"] = sub_s
+
+    conv_bn("conv_last", "conv_last.0", "conv_last.1", params, stats)
+
+    unexpected = sorted(
+        k for k in state_dict if k not in used
+        and "num_batches_tracked" not in k
+        and not k.startswith("classifier."))   # imagenet head, unused
+    return params, stats, {"unexpected": unexpected}
+
+
 def convert_detector_params(state_dict: Dict[str, np.ndarray],
                             model: str = "centernet",
                             num_stacks: int = 2, depth: int = 5):

@@ -165,3 +165,62 @@ def test_psroi_trans_shifts():
                                    pooled_size=2, output_dim=4,
                                    trans_std=0.5, no_trans=False)
     assert float(shifted.mean()) > float(base.mean())
+
+
+def test_dcn_pooling_module_init_is_half_base():
+    """DCNPooling module (ext/dcn/dcn_v2.py:223-303): the offset-FC
+    trunk's final layer is zero-init, so at init offsets are 0 and the
+    mask is sigmoid(0)=0.5 -> output == 0.5 * plain PSROI pooling."""
+    import jax
+    from rrnet_tpu.models.modules import DCNPooling
+
+    rng = np.random.RandomState(0)
+    feat = rng.randn(2, 12, 16, 8).astype(np.float32)
+    rois = np.array([[0, 2, 2, 9, 7],
+                     [1, 0, 0, 15, 11],
+                     [0, 4, 1, 6, 3]], np.float32)
+
+    mod = DCNPooling(spatial_scale=1.0, pooled_size=3, output_dim=8,
+                     no_trans=False)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                         jnp.asarray(rois))
+    out = mod.apply(variables, jnp.asarray(feat), jnp.asarray(rois))
+
+    base_mod = DCNPooling(spatial_scale=1.0, pooled_size=3, output_dim=8,
+                          no_trans=True)
+    base = base_mod.apply({"params": {}}, jnp.asarray(feat),
+                          jnp.asarray(rois))
+    assert out.shape == (3, 3, 3, 8)
+    np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(base),
+                               atol=1e-5)
+
+
+def test_dcn_pooling_module_batch_routing_and_grad():
+    """ROIs route to their own image's features; gradients flow through
+    the trunk (the reference's pooling gradcheck, ext/dcn/test.py)."""
+    import jax
+    from rrnet_tpu.models.modules import DCNPooling
+
+    rng = np.random.RandomState(1)
+    feat = rng.randn(2, 8, 8, 4).astype(np.float32)
+    # identical ROI boxes, different images -> different outputs
+    rois = np.array([[0, 1, 1, 6, 6], [1, 1, 1, 6, 6]], np.float32)
+    mod = DCNPooling(spatial_scale=1.0, pooled_size=2, output_dim=4,
+                     no_trans=True)
+    out = mod.apply({"params": {}}, jnp.asarray(feat), jnp.asarray(rois))
+    assert np.abs(np.asarray(out[0]) - np.asarray(out[1])).max() > 1e-3
+
+    mod2 = DCNPooling(spatial_scale=1.0, pooled_size=2, output_dim=4,
+                      no_trans=False, trans_std=0.1)
+    variables = mod2.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                          jnp.asarray(rois))
+
+    def loss(v, f):
+        return (mod2.apply(v, f, jnp.asarray(rois)) ** 2).sum()
+
+    g_v, g_f = jax.grad(loss, argnums=(0, 1))(variables, jnp.asarray(feat))
+    # fc1/fc2 receive gradient (fc3 zero-init blocks first-order fc3
+    # *input* grads but its own weights get gradient via the mask)
+    g3 = np.asarray(g_v["params"]["fc3"]["kernel"])
+    assert np.isfinite(np.asarray(g_f)).all()
+    assert np.abs(g3).max() > 0

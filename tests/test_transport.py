@@ -1,0 +1,99 @@
+"""YUV420 image transport: round-trip fidelity + eval equivalence.
+
+The eval pipeline can ship images host->device as JPEG-native YUV 4:2:0
+planes (half the bytes of RGB). VisDrone JPEGs are 4:2:0, so half-res
+chroma is all the source files carry; the device reconstructs RGB with
+bilinear chroma upsampling (rrnet_tpu/evallib/infer.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rrnet_tpu import config as cfglib
+from rrnet_tpu.evallib.infer import (
+    Evaluator, rgb_to_yuv420, _yuv420_to_rgb_device)
+from rrnet_tpu.models import build_model
+
+
+def _smooth_image(rng, h, w):
+    """Natural-image stand-in: low-frequency content upsampled 8x."""
+    small = rng.rand(h // 8, w // 8, 3)
+    img = np.asarray(jax.image.resize(jnp.asarray(small), (h, w, 3),
+                                      method="bilinear"))
+    return (img * 255).astype(np.uint8)
+
+
+def test_yuv420_roundtrip_gray():
+    """Gray (chroma-free) content must round-trip to within luma
+    quantization (+-1)."""
+    img = np.full((2, 64, 64, 3), 77, np.uint8)
+    y, uv = rgb_to_yuv420(img)
+    assert y.shape == (2, 64, 64) and uv.shape == (2, 32, 32, 2)
+    rec = np.asarray(_yuv420_to_rgb_device(jnp.asarray(y), jnp.asarray(uv)))
+    assert np.abs(rec - 77.0).max() <= 1.0
+
+
+def test_yuv420_roundtrip_natural():
+    """Smooth natural-like content: small mean error, bounded max."""
+    rng = np.random.RandomState(0)
+    img = _smooth_image(rng, 128, 128)[None]
+    y, uv = rgb_to_yuv420(img)
+    rec = np.asarray(_yuv420_to_rgb_device(jnp.asarray(y), jnp.asarray(uv)))
+    err = np.abs(rec - img.astype(np.float32))
+    assert err.mean() < 2.5, err.mean()
+    assert err.max() < 40, err.max()   # isolated chroma-edge pixels
+
+
+def test_yuv420_bytes_halved():
+    img = np.zeros((4, 128, 256, 3), np.uint8)
+    y, uv = rgb_to_yuv420(img)
+    assert y.nbytes + uv.nbytes == img.nbytes // 2
+
+
+def test_yuv420_roundtrip_demo_jpeg():
+    """Fidelity on a real VisDrone image (the 4:2:0 demo JPEG): the
+    round trip through the transport must stay within ~1 gray level on
+    average — i.e. well under the JPEG's own quantization noise."""
+    import os
+    from rrnet_tpu.data.visdrone import VisDroneDataset
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = VisDroneDataset(os.path.join(repo, "data", "demo"), split="")
+    img = ds.load_image(ds.names[0])
+    h, w = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+    img = img[None, :h, :w]
+    y, uv = rgb_to_yuv420(img)
+    rec = np.asarray(_yuv420_to_rgb_device(jnp.asarray(y), jnp.asarray(uv)))
+    err = np.abs(rec - img.astype(np.float32))
+    assert err.mean() < 1.5, err.mean()
+    assert np.percentile(err, 99) < 10, np.percentile(err, 99)
+
+
+def test_transport_equivalence_eval():
+    """rgb and yuv420 transports must run the full Evaluator path and
+    produce validly structured detections from the same image; their
+    score mass must be close (the input tensors differ only by chroma
+    smoothing, but an untrained model's noise peaks may reorder)."""
+    rng = np.random.RandomState(3)
+    img = _smooth_image(rng, 96, 144)
+
+    preds = {}
+    for transport in ("rgb", "yuv420"):
+        cfg = cfglib.centernet_config()
+        cfg = cfglib.set_by_path(cfg, "model.backbone", "tiny_hourglass")
+        cfg = cfglib.set_by_path(cfg, "val.scales", (1.0,))
+        cfg = cfglib.set_by_path(cfg, "val.flip_tta", False)
+        cfg = cfglib.set_by_path(cfg, "val.transport", transport)
+        model = build_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        ev = Evaluator(cfg, variables, model=model, bucket_multiple=64,
+                       decode_topk=50)
+        preds[transport] = ev.predict(img)
+
+    a, b = preds["rgb"], preds["yuv420"]
+    assert len(a) > 0 and len(b) > 0
+    assert a.shape[1] == 6 and b.shape[1] == 6
+    # aggregate score mass within 5% — same image, same weights
+    assert abs(a[:, 4].sum() - b[:, 4].sum()) / max(a[:, 4].sum(), 1e-9) < 0.05

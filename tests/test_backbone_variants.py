@@ -7,6 +7,8 @@ import pytest
 
 from rrnet_tpu.models.backbones import get_backbone
 
+pytestmark = pytest.mark.slow
+
 
 def run(bb, x):
     variables = bb.init(jax.random.PRNGKey(0), x, train=False)

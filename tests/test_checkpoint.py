@@ -6,6 +6,9 @@ from rrnet_tpu import config as cfglib
 from rrnet_tpu.models import build_model
 from rrnet_tpu.train.state import create_train_state
 from rrnet_tpu.utils import checkpoint as ckpt
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def small_state():

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 from rrnet_tpu import config as cfglib
 from rrnet_tpu.evallib.infer import Evaluator
 from rrnet_tpu.models import build_model
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 class FakeLoader:

@@ -10,8 +10,11 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                                reason="reference checkout not present")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference checkout not present"),
+]
 
 
 def _load_ref_hourglass(num_stacks=1):

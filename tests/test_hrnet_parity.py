@@ -15,8 +15,11 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                                reason="reference checkout not present")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference checkout not present"),
+]
 
 
 def _ref_module(modname):

@@ -11,6 +11,8 @@ from rrnet_tpu import config as cfglib
 from rrnet_tpu.evallib.infer import Evaluator, _flip_valid_width, _round_up
 from rrnet_tpu.models import build_model
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -6,6 +6,8 @@ import pytest
 from rrnet_tpu import config as cfglib
 from rrnet_tpu.models import build_model
 
+pytestmark = pytest.mark.slow
+
 
 def init_and_run(model, x, train=False):
     variables = model.init(jax.random.PRNGKey(0), x, train=False)

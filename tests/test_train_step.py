@@ -9,6 +9,8 @@ import pytest
 from rrnet_tpu import config as cfglib
 from rrnet_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(name, **over):
     cfg = cfglib.PRESETS[name]()

@@ -70,6 +70,7 @@ def test_yuv420_roundtrip_demo_jpeg():
     assert np.percentile(err, 99) < 10, np.percentile(err, 99)
 
 
+@pytest.mark.slow
 def test_transport_equivalence_eval():
     """rgb and yuv420 transports must run the full Evaluator path and
     produce validly structured detections from the same image; their

@@ -17,7 +17,7 @@ independent parameter set, mirroring the reference's ModuleLists.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,8 +25,26 @@ from flax import linen as nn
 from rrnet_tpu.models.layers import Bottleneck, torch_conv_init
 
 
+class _ConvParam(nn.Module):
+    """Conv kernel+bias parameters without the nn.Conv computation, so
+    heads can run the op in a TPU-friendlier formulation while keeping
+    the exact same param tree (scope/kernel/bias names and init)."""
+    shape: Tuple[int, ...]          # (kh, kw, cin, cout)
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_conv_init, self.shape)
+        b = self.param("bias", self.bias_init, (self.shape[-1],))
+        return k, b
+
+
 class CenterNetHead(nn.Module):
-    """Per-stack [3x3 conv-256 (bias, no BN) + relu] -> 1x1 conv head."""
+    """Per-stack [3x3 conv-256 (bias, no BN) + relu] -> 1x1 conv head.
+
+    The 1x1 output conv is computed as a matmul (identical math): XLA's
+    conv lowering for tiny output-channel counts (10 / 2 classes) wastes
+    most of each memory pass, while the dot streams at HBM speed."""
     planes: int
     num_stacks: int = 2
     is_heatmap: bool = False
@@ -41,16 +59,23 @@ class CenterNetHead(nn.Module):
         x = nn.relu(x)
         bias_init = (nn.initializers.constant(-2.19) if self.is_heatmap
                      else nn.initializers.zeros)
-        return nn.Conv(self.planes, (1, 1), use_bias=True,
-                       kernel_init=torch_conv_init, bias_init=bias_init,
-                       dtype=self.dtype, name=f"out{stack}")(x)
+        ko, bo = _ConvParam((1, 1, self.mid_channels, self.planes),
+                            bias_init=bias_init, name=f"out{stack}")()
+        return x @ ko[0, 0].astype(x.dtype) + bo.astype(x.dtype)
 
 
 class CenterNetWHHead(nn.Module):
     """Asymmetric wh head: shared 3x3 conv, then a (k,1) column conv
     predicting H and a (1,k) row conv predicting W, outputs interleaved
     [W0, H0, W1, H1, ...] (reference detectors/centernet_detector.py:47-55:
-    torch.cat((W, H), dim=2) after the view — so channel 0 is W)."""
+    torch.cat((W, H), dim=2) after the view — so channel 0 is W).
+
+    TPU formulation: a (k,1)->1 conv is a K=k*C dot with N=1 — the MXU's
+    worst case (measured ~9 ms each at 768x1408x16). Instead compute one
+    C -> 2*k*planes matmul (each output column = the feature dotted with
+    one kernel row/column), then reduce over k shifted row/column slices.
+    Identical math (the f32 accumulation is regrouped per tap), one
+    memory pass over the feature map for BOTH directions."""
     planes: int = 1
     num_stacks: int = 2
     kernel: int = 17
@@ -60,20 +85,36 @@ class CenterNetWHHead(nn.Module):
     @nn.compact
     def __call__(self, x, stack: int):
         k = self.kernel
+        p = self.planes
         pad = (k - 1) // 2
         conv = nn.Conv(self.mid_channels, (3, 3), padding=[(1, 1), (1, 1)],
                        use_bias=True, kernel_init=torch_conv_init,
                        dtype=self.dtype, name=f"conv{stack}")(x)
         conv = nn.relu(conv)
-        h = nn.Conv(self.planes, (k, 1), padding=[(pad, pad), (0, 0)],
-                    use_bias=True, kernel_init=torch_conv_init,
-                    dtype=self.dtype, name=f"hconv{stack}")(conv)
-        w = nn.Conv(self.planes, (1, k), padding=[(0, 0), (pad, pad)],
-                    use_bias=True, kernel_init=torch_conv_init,
-                    dtype=self.dtype, name=f"wconv{stack}")(conv)
+
+        kh, bh = _ConvParam((k, 1, self.mid_channels, p),
+                            name=f"hconv{stack}")()
+        kw, bw = _ConvParam((1, k, self.mid_channels, p),
+                            name=f"wconv{stack}")()
+        # (C, k*p) per direction: column dy*p+j == kernel tap dy, plane j
+        mh = kh[:, 0].transpose(1, 0, 2).reshape(self.mid_channels, k * p)
+        mw = kw[0].transpose(1, 0, 2).reshape(self.mid_channels, k * p)
+        m = jnp.concatenate([mh, mw], axis=1).astype(conv.dtype)
+        t = conv @ m                                    # (B, H, W, 2kp)
+        bsz, hh, ww = t.shape[:3]
+        th = t[..., :k * p].reshape(bsz, hh, ww, k, p).astype(jnp.float32)
+        tw = t[..., k * p:].reshape(bsz, hh, ww, k, p).astype(jnp.float32)
+
+        thp = jnp.pad(th, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+        h = sum(thp[:, dy:dy + hh, :, dy, :] for dy in range(k))
+        twp = jnp.pad(tw, ((0, 0), (0, 0), (pad, pad), (0, 0), (0, 0)))
+        w = sum(twp[:, :, dx:dx + ww, dx, :] for dx in range(k))
+        h = (h + bh).astype(conv.dtype)
+        w = (w + bw).astype(conv.dtype)
+
         # interleave: (..., planes, 2) -> (..., 2*planes), order W then H
         out = jnp.stack([w, h], axis=-1)
-        return out.reshape(out.shape[:-2] + (2 * self.planes,))
+        return out.reshape(out.shape[:-2] + (2 * p,))
 
 
 class FasterRCNNHead(nn.Module):

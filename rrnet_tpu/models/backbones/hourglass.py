@@ -27,6 +27,31 @@ from rrnet_tpu.models.layers import BatchNorm, ConvBN, torch_conv_init
 from rrnet_tpu.models.layers import max_pool
 
 
+def _upsample2x_nearest_add(low3, up1):
+    """Nearest-neighbor upsample of `low3` to `up1`'s spatial shape plus
+    skip-add (reference hourglass.py:110-124: nn.Upsample(scale_factor=2)
+    + size-matching interpolate + add).
+
+    For the exact-2x case (every shipped config: inputs are multiples of
+    the stride so each level is even) the upsample is expressed as a
+    broadcast + reshape instead of `jax.image.resize`: resize lowers to
+    a gather, which the TPU serves at a fraction of HBM speed, while the
+    broadcast fuses into the add as one streaming pass (~12 ms -> ~1 ms
+    over the 10 upsamples of a 2-stack hourglass at 768x1408, PERF.md).
+    Nearest resize at exact 2x selects source index floor((2i+1)/2)//1
+    == i//2, which is exactly duplication, so the two paths are
+    bit-identical; odd sizes fall back to resize."""
+    b = low3.shape[:-3]
+    h2, w2, c = low3.shape[-3:]
+    oh, ow = up1.shape[-3:-1]
+    if (oh, ow) != (2 * h2, 2 * w2):
+        return up1 + jax.image.resize(
+            low3, up1.shape[:-3] + up1.shape[-3:], method="nearest")
+    x = jnp.broadcast_to(low3[..., :, None, :, None, :],
+                         b + (h2, 2, w2, 2, c))
+    return up1 + x.reshape(b + (oh, ow, c))
+
+
 class SELayer(nn.Module):
     """Squeeze-excitation (reference se_hourglass.py:12-27)."""
     reduction: int = 16
@@ -125,10 +150,7 @@ class Hourglass(nn.Module):
             low3 = HGResidual(nxt, name=f"low3_{i}", **kw)(low3, train)
         low3 = HGResidual(cur, name=f"low3_{cur_num - 1}", **kw)(low3, train)
 
-        up2 = jax.image.resize(
-            low3, up1.shape[:-3] + up1.shape[-3:], method="nearest"
-        )
-        return up1 + up2
+        return _upsample2x_nearest_add(low3, up1)
 
 
 class HourglassNet(nn.Module):

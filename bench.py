@@ -108,9 +108,9 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     n_batches = 8
-    n_trials = 4
+    n_trials = 6
     depth = 6
-    time_budget = 300.0
+    time_budget = 330.0
     # single worker: the eval host may be a single core, and concurrent
     # device_puts contend on the tunnel (scripts/probe_transport.py) —
     # strictly serialized uploads are fastest.
@@ -130,8 +130,8 @@ def main():
             preds = ev.collect(in_flight.pop(0))
         return time.time() - t0, preds
 
-    # staging bytes per batch (YUV420 = 1.5 B/px on the padded bucket)
-    payload, bucket, _ = ev._upload(variants)
+    # staging bytes per batch (YUV420 = 1.5 B/px on the tight wire shape)
+    payload, bucket, _, _tight = ev._upload(variants)
     batch_mb = sum(np.prod(p.shape) for p in payload) / 1e6
 
     n = n_batches * batch

@@ -69,11 +69,15 @@ def rgb_to_yuv420(rgb_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     if cv2 is not None:
         y = np.empty((bs, h, w), np.uint8)
         uv = np.empty((bs, h // 2, w // 2, 2), np.uint8)
+        q = h * w // 4
         for i in range(bs):
-            i420 = cv2.cvtColor(rgb_u8[i], cv2.COLOR_RGB2YUV_I420)
-            y[i] = i420[:h]
-            uv[i, ..., 0] = i420[h:h + h // 4].reshape(h // 2, w // 2)
-            uv[i, ..., 1] = i420[h + h // 4:].reshape(h // 2, w // 2)
+            # I420 layout is plane-contiguous (Y: h*w, U: h*w/4,
+            # V: h*w/4); index by flat offset — row slicing would need
+            # h % 4 == 0, but tight wire shapes only guarantee even
+            flat = cv2.cvtColor(rgb_u8[i], cv2.COLOR_RGB2YUV_I420).reshape(-1)
+            y[i] = flat[:h * w].reshape(h, w)
+            uv[i, ..., 0] = flat[h * w:h * w + q].reshape(h // 2, w // 2)
+            uv[i, ..., 1] = flat[h * w + q:].reshape(h // 2, w // 2)
         return y, uv
     # numpy fallback, same convention (studio swing, top-left chroma)
     f = rgb_u8.astype(np.float32)
@@ -168,6 +172,8 @@ class Evaluator:
         self.upload_streams = max(1, int(upload_streams))
         self._upload_pool = None
         self._compiled: Dict[Tuple, callable] = {}
+        # per-bucket sticky wire shape (see _upload)
+        self._tight_cache: Dict[Tuple[int, int], Tuple[int, int]] = {}
 
     # ------------------------------------------------------------------
     def _split_variables(self, variables):
@@ -205,10 +211,15 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def _predict_fn(self, bucket: Tuple[int, int], scaled: Tuple[int, int],
-                    flip: bool, batch: int = 1):
+                    flip: bool, batch: int = 1,
+                    tight: Optional[Tuple[int, int]] = None):
         """Jitted (bucket, scaled, flip, batch) program: device-side
-        preprocess (normalize/resize/flip) + forward + decode."""
-        key = (bucket, scaled, flip, batch)
+        preprocess (unpack/pad/normalize/resize/flip) + forward + decode.
+        `tight` is the wire shape: images ship at the even-rounded batch
+        max size and are padded to `bucket` on device, so bucket padding
+        (e.g. 1360x765 -> 1408x768, ~4%) never crosses the link."""
+        tight = tight or bucket
+        key = (bucket, scaled, flip, batch, tight)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -240,16 +251,20 @@ class Evaluator:
         else:
             maybe_jit = jax.jit
 
+        th, tw = tight
+
         def preprocess(payload, valid_hw):
             flat = (payload[0] if len(payload) == 1
                     else jnp.concatenate(payload, axis=0))
             n = flat.shape[0]
             if transport == "yuv420":
-                y_u8 = flat[:, :bh * bw].reshape(n, bh, bw)
-                uv_u8 = flat[:, bh * bw:].reshape(n, bh // 2, bw // 2, 2)
+                y_u8 = flat[:, :th * tw].reshape(n, th, tw)
+                uv_u8 = flat[:, th * tw:].reshape(n, th // 2, tw // 2, 2)
                 x = _yuv420_to_rgb_device(y_u8, uv_u8) / 255.0
             else:
-                x = flat.reshape(n, bh, bw, 3).astype(jnp.float32) / 255.0
+                x = flat.reshape(n, th, tw, 3).astype(jnp.float32) / 255.0
+            if (th, tw) != (bh, bw):
+                x = jnp.pad(x, ((0, 0), (0, bh - th), (0, bw - tw), (0, 0)))
             x = (x - mean) / std
             if scaled != bucket:
                 x = jax.image.resize(
@@ -364,7 +379,17 @@ class Evaluator:
         ws = [im.shape[1] for im in images]
         bh = _round_up(max(hs), self.bucket_multiple)
         bw = _round_up(max(ws), self.bucket_multiple)
-        padded = np.zeros((len(images), bh, bw, 3), np.uint8)
+        # wire shape: 16-rounded batch max — bucket padding (~4% at
+        # VisDrone val 1360x765 -> 1408x768) is added on DEVICE, so it
+        # never crosses the (often bandwidth-bound) host->device link.
+        # Sticky per bucket (grow-only) so same-bucket batches with
+        # slightly different sizes reuse one compiled program.
+        th = min(_round_up(max(hs), 16), bh)
+        tw = min(_round_up(max(ws), 16), bw)
+        sth, stw = self._tight_cache.get((bh, bw), (0, 0))
+        th, tw = max(th, sth), max(tw, stw)
+        self._tight_cache[(bh, bw)] = (th, tw)
+        padded = np.zeros((len(images), th, tw, 3), np.uint8)
         for i, im in enumerate(images):
             if im.dtype != np.uint8:
                 im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
@@ -389,7 +414,7 @@ class Evaluator:
                     max_workers=self.upload_streams)
             chunks = np.array_split(flat, self.upload_streams, axis=0)
             payload = tuple(self._upload_pool.map(jax.device_put, chunks))
-        return payload, (bh, bw), list(zip(hs, ws))
+        return payload, (bh, bw), list(zip(hs, ws)), (th, tw)
 
     def _scaled_shape(self, bucket, scale):
         return (_round_up(int(bucket[0] * scale), self.bucket_multiple),
@@ -404,10 +429,10 @@ class Evaluator:
         (from `self._upload`, e.g. staged on a background thread so the
         host->device transfer overlaps the previous batch's compute)."""
         cfg = self.cfg
-        if isinstance(images, tuple) and len(images) == 3:
-            payload, bucket, hws = images
+        if isinstance(images, tuple) and len(images) == 4:
+            payload, bucket, hws, tight = images
         else:
-            payload, bucket, hws = self._upload(images)
+            payload, bucket, hws, tight = self._upload(images)
         vhw = jnp.asarray(hws, jnp.int32)
         n = len(hws)
         pending = []
@@ -415,7 +440,7 @@ class Evaluator:
             scaled = self._scaled_shape(bucket, scale)
             flips = (True, False) if cfg.val.flip_tta else (False,)
             for flip in flips:
-                fn = self._predict_fn(bucket, scaled, flip, n)
+                fn = self._predict_fn(bucket, scaled, flip, n, tight)
                 out = fn(self._arg_values, payload, vhw)
                 ry = scaled[0] / bucket[0]
                 rx = scaled[1] / bucket[1]

@@ -178,7 +178,7 @@ def main():
     # real TPU host the PCIe upload (~1.6MB/img yuv420) is negligible; in
     # this dev environment the host->device tunnel is bursty
     # (~25-1500 MB/s) and can cap the end-to-end number above.
-    staged = (payload, bucket, [(VAL_H, VAL_W)] * batch)
+    staged = (payload, bucket, [(VAL_H, VAL_W)] * batch, _tight)
     ev.collect(ev.dispatch_batch(staged))
     t0 = time.time()
     m = 10

@@ -108,9 +108,9 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     n_batches = 8
-    n_trials = 6
+    n_trials = 8
     depth = 6
-    time_budget = 330.0
+    time_budget = 420.0
     # single worker: the eval host may be a single core, and concurrent
     # device_puts contend on the tunnel (scripts/probe_transport.py) —
     # strictly serialized uploads are fastest.

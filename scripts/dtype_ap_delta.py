@@ -58,7 +58,8 @@ def eval_ap(cfg, variables, dtype: str) -> dict:
         ev.evaluate_split(loader, result_dir=tmp, verbose=False)
         gt_dir = os.path.join(cfg.data_root, "val", "annotations")
         out = evaluate_results(tmp, gt_dir, verbose=False)
-    return {k: round(float(v), 4) for k, v in out.items()}
+    return {k: round(float(v), 4) for k, v in out.items()
+            if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
 
 
 def main():

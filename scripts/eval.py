@@ -23,6 +23,12 @@ def main():
                     help="checkpoint dir or ckp-N path")
     ap.add_argument("--split", default="val")
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=4,
+                    help="images per eval batch (per shape bucket)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard eval batches over all local devices "
+                         "(Mesh over the data axis); batch is rounded "
+                         "up to a multiple of the device count")
     ap.add_argument("--no-score", action="store_true",
                     help="skip AP computation (txt only)")
     ap.add_argument("overrides", nargs="*")
@@ -47,9 +53,19 @@ def main():
     state = ckpt.restore_checkpoint(args.ckpt, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    mesh = None
+    batch = args.batch
+    if args.data_parallel:
+        import numpy as np
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        mesh = Mesh(np.asarray(devs), ("data",))
+        batch = -(-batch // len(devs)) * len(devs)
+
     loader = ValLoader(cfg, split=args.split)
-    ev = Evaluator(cfg, variables, model=model)
-    result_dir = ev.evaluate_split(loader, max_images=args.max_images)
+    ev = Evaluator(cfg, variables, model=model, mesh=mesh)
+    result_dir = ev.evaluate_split(loader, max_images=args.max_images,
+                                   batch_size=batch)
 
     if not args.no_score:
         gt_dir = os.path.join(cfg.data_root, args.split, "annotations")

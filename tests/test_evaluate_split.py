@@ -71,6 +71,29 @@ def test_evaluate_split_respects_max_images(tmp_path):
     assert len(os.listdir(out)) == 3
 
 
+def test_evaluate_split_with_mesh_pads_leftovers(tmp_path):
+    """The scripts/eval.py --data-parallel path: evaluate_split on a
+    mesh-backed Evaluator must handle a leftover batch (5 images,
+    batch_size 8 on an 8-device mesh) by padding to the batch size so
+    every shard is non-empty, and still write one txt per image."""
+    from jax.sharding import Mesh
+
+    cfg = cfglib.centernet_config()
+    cfg = cfglib.set_by_path(cfg, "model.backbone", "tiny_hourglass")
+    cfg = cfglib.set_by_path(cfg, "val.scales", (1.0,))
+    cfg = cfglib.set_by_path(cfg, "val.flip_tta", False)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    ev = Evaluator(cfg, variables, model=model, bucket_multiple=64,
+                   decode_topk=20, mesh=mesh)
+    loader = FakeLoader([(60, 70)] * 5)
+    out = ev.evaluate_split(loader, result_dir=str(tmp_path), batch_size=8,
+                            verbose=False)
+    assert sorted(os.listdir(out)) == [f"img{i:03d}.txt" for i in range(5)]
+
+
 def test_mesh_sharded_eval_matches_single():
     """Evaluator(mesh=...): batches shard over the data axis of an
     8-device mesh and produce the same detections as unsharded eval."""

@@ -29,7 +29,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_xplane(path):
     """Return [(op_name, duration_ns, count)] aggregated over the device
     planes of one .xplane.pb trace file."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    import importlib
+
+    xplane_pb2 = None
+    for modpath in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                    "tensorflow.core.profiler.protobuf.xplane_pb2",
+                    "tsl.profiler.protobuf.xplane_pb2",
+                    "xprof.protobuf.xplane_pb2"):
+        try:
+            xplane_pb2 = importlib.import_module(modpath)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise ImportError("no xplane_pb2 protobuf module found")
 
     raw = open(path, "rb").read()
     if path.endswith(".gz"):
@@ -47,11 +60,11 @@ def parse_xplane(path):
             continue
         ev_meta = plane.event_metadata
         for line in plane.lines:
-            # XLA Ops line carries per-fusion/per-op events
-            if line.name not in ("XLA Ops", "XLA Modules", "Steps"):
-                if "XLA Ops" not in line.name and line.name != "":
-                    pass
-            if "XLA Ops" not in line.name:
+            # The synchronous "XLA Ops" line is wall-time-accurate; the
+            # "Async XLA Ops" line holds in-flight DMAs (slice-start /
+            # copy-start) whose durations OVERLAP compute — summing them
+            # double-counts, so they are excluded here.
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name

@@ -41,7 +41,7 @@ def synthetic_batch(rng: np.random.RandomState, batch: int, size: int,
     return {"images": images, "annos": annos, "valid": valid}
 
 
-def run_family(name: str, steps: int) -> dict:
+def run_family(name: str, steps: int, batch: int = None) -> dict:
     import jax
 
     from rrnet_tpu import config as cfglib
@@ -51,7 +51,9 @@ def run_family(name: str, steps: int) -> dict:
     cfg = getattr(cfglib, f"{name}_config")()
     cfg = cfglib.set_by_path(cfg, "train.stage2_warmup_steps", 0) \
         if name == "rrnet" else cfg
-    batch = max(int(cfg.train.batch_size), 4)
+    if batch is None:
+        batch = max(int(cfg.train.batch_size), 4)
+    cfg = cfglib.set_by_path(cfg, "train.batch_size", batch)
     size = 512
     max_objects = cfg.train.max_objects
 
@@ -100,9 +102,14 @@ def main():
 
     results = {"device": str(jax.devices()[0]), "families": []}
     for fam in args.families.split(","):
-        r = run_family(fam.strip(), args.steps)
-        results["families"].append(r)
-        print(json.dumps(r))
+        # reference schedule batch (4/chip, configs/rrnet_config.py:22)
+        # and the throughput-optimal batch: at 512^2 a batch of 8 runs
+        # at nearly the same step latency as 4 on v5e (the small-batch
+        # convs underutilize the MXU), so img/s roughly doubles.
+        for batch in (None, 16):
+            r = run_family(fam.strip(), args.steps, batch=batch)
+            results["families"].append(r)
+            print(json.dumps(r))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

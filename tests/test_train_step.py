@@ -108,11 +108,13 @@ def test_nonfinite_loss_skips_update():
     batch = synthetic_batch(8)
     batch["images"] = jnp.asarray(
         np.full((8, 64, 64, 3), np.inf, np.float32))
-    before = jax.tree.leaves(state.params)[0]
+    # snapshot to host BEFORE the step: train_step donates the state, so
+    # the old device buffers are invalidated afterwards
+    before = np.asarray(jax.tree.leaves(state.params)[0])
     state, metrics = trainer.train_step(state, trainer.shard(batch))
     after = jax.tree.leaves(state.params)[0]
     assert float(metrics["skipped"]) == 1.0
-    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    np.testing.assert_array_equal(before, np.asarray(after))
     # and a healthy batch afterwards still trains
     state, metrics = trainer.train_step(state, trainer.shard(synthetic_batch(8)))
     assert float(metrics["skipped"]) == 0.0

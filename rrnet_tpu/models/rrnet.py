@@ -146,7 +146,14 @@ class RRNet(nn.Module):
             dets.boxes, dets.scores, dets.classes)
 
         # V. Stage 2: ROI-align over relu(last feat), bottleneck regressor.
-        last_feat = nn.relu(feats[-1]).astype(jnp.float32)
+        # Train keeps the f32 cast so the backward scatter-add through
+        # the ROI gathers accumulates in f32; at eval the gather runs on
+        # the native (bf16) features — bit-identical output (the op
+        # converts the gathered corners to f32 before interpolating) at
+        # half the gather traffic.
+        last_feat = nn.relu(feats[-1])
+        if train:
+            last_feat = last_feat.astype(jnp.float32)
         roi_feat = jax.vmap(
             lambda f, b: roi_align(f, b, output_size=(3, 3))
         )(last_feat, rois)                                  # (B, R, 3, 3, C)

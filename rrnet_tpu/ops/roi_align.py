@@ -42,9 +42,13 @@ def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     hx = 1.0 - lx
 
     def at(yi, xi):
+        # gather in the feature's native dtype and convert AFTER: for
+        # bf16 features this is bit-identical to converting first
+        # (bf16->f32 is exact) but halves the gather traffic and avoids
+        # XLA materializing an f32 copy of the whole feature map.
         flat = feat.reshape(h * w, -1)
         idx = (yi * w + xi).astype(jnp.int32)
-        return flat[idx]
+        return flat[idx].astype(jnp.float32)
 
     y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
     val = (at(y0i, x0i) * (hy * hx)[..., None] +

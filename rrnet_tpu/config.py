@@ -64,6 +64,13 @@ class TrainConfig:
 
     pretrained: bool = True
 
+    # Host->device batch transport (see ValConfig.transport / data/
+    # yuv420.py): 'yuv420' ships train crops as packed (B, 1.5*H*W)
+    # uint8 YUV planes, reconstructed to RGB on device inside the train
+    # step — half the wire bytes of 'rgb' uint8 crops. 'rgb' ships
+    # (B, H, W, 3) uint8.
+    transport: str = "yuv420"
+
 
 @dataclass
 class ValConfig:

@@ -124,8 +124,15 @@ class TrainLoader:
     # -- public -------------------------------------------------------------
     def get_batch(self) -> Dict[str, np.ndarray]:
         items = [self._queue.get() for _ in range(self.batch_size)]
+        images = np.stack([i["image"] for i in items])
+        if (images.dtype == np.uint8
+                and getattr(self.cfg.train, "transport", "rgb") == "yuv420"):
+            # packed (B, 1.5*H*W) wire rows; the train step reconstructs
+            # RGB on device (trainer.py) — half the host->device bytes
+            from rrnet_tpu.data.yuv420 import pack_yuv420
+            images = pack_yuv420(images)
         return {
-            "images": np.stack([i["image"] for i in items]),
+            "images": images,
             "annos": np.stack([i["annos"] for i in items]),
             "valid": np.stack([i["valid"] for i in items]),
         }

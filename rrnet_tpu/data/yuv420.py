@@ -1,0 +1,134 @@
+"""YUV 4:2:0 image transport, shared by the eval and train input paths.
+
+VisDrone images are 4:2:0 JPEGs, so half-resolution chroma planes are
+exactly what the source files carry — shipping them instead of
+upsampled RGB halves the host->device bytes without discarding source
+information. On this dev rig's bandwidth-bound tunnel that directly
+halves input-transfer time; on a real TPU host it is simply fewer PCIe
+bytes.
+
+The host side MUST be cheap: the host may be a single core, and a numpy
+float conversion (~6 passes over tens of MB per batch) costs seconds —
+it was the actual bottleneck behind an apparently "transport-bound"
+eval pipeline in round 1. cv2's SIMD I420 conversion does a 16-image
+768x1408 batch in ~23 ms. Convention is therefore cv2's: BT.601 STUDIO
+swing (Y 16-235, C 16-240), chroma point-sampled at the top-left of
+each 2x2 (co-sited; measured against cv2 — see `yuv420_to_rgb_device`
+for the matching inverse).
+
+Used by `evallib.infer` (full-image eval batches) and, via the packed
+(B, 1.5*H*W) wire format, by `data.loader.TrainLoader` +
+`train.trainer` (fixed-size train crops). Reference counterpart: none —
+the reference ships float32 CHW tensors through torch DataLoader pinned
+memory (datasets/dataloader.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def rgb_to_yuv420(rgb_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, H, W, 3) uint8 RGB -> (Y (B,H,W), UV (B,H/2,W/2,2)) uint8.
+    H and W must be even."""
+    bs, h, w = rgb_u8.shape[:3]
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    if cv2 is not None:
+        y = np.empty((bs, h, w), np.uint8)
+        uv = np.empty((bs, h // 2, w // 2, 2), np.uint8)
+        q = h * w // 4
+        for i in range(bs):
+            # I420 layout is plane-contiguous (Y: h*w, U: h*w/4,
+            # V: h*w/4); index by flat offset — row slicing would need
+            # h % 4 == 0, but tight wire shapes only guarantee even
+            flat = cv2.cvtColor(rgb_u8[i], cv2.COLOR_RGB2YUV_I420).reshape(-1)
+            y[i] = flat[:h * w].reshape(h, w)
+            uv[i, ..., 0] = flat[h * w:h * w + q].reshape(h // 2, w // 2)
+            uv[i, ..., 1] = flat[h * w + q:].reshape(h // 2, w // 2)
+        return y, uv
+    # numpy fallback, same convention (studio swing, top-left chroma)
+    f = rgb_u8.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+    rs, gs, bs_ = r[:, ::2, ::2], g[:, ::2, ::2], b[:, ::2, ::2]
+    cb = 128.0 - 0.148 * rs - 0.291 * gs + 0.439 * bs_
+    cr = 128.0 + 0.439 * rs - 0.368 * gs - 0.071 * bs_
+    y_u8 = np.clip(y + 0.5, 0, 255).astype(np.uint8)
+    uv_u8 = np.clip(np.stack([cb, cr], -1) + 0.5, 0, 255).astype(np.uint8)
+    return y_u8, uv_u8
+
+
+def pack_yuv420(rgb_u8: np.ndarray) -> np.ndarray:
+    """(B, H, W, 3) uint8 RGB -> (B, 1.5*H*W) uint8 packed wire rows
+    (Y plane followed by interleaved half-res CbCr)."""
+    y, uv = rgb_to_yuv420(rgb_u8)
+    n = rgb_u8.shape[0]
+    return np.concatenate([y.reshape(n, -1), uv.reshape(n, -1)], axis=1)
+
+
+def _cosited_up2x(c, axis: int):
+    """2x linear upsample along `axis` for CO-SITED samples (sample k
+    sits at full-res position 2k, cv2's I420 chroma siting): even
+    outputs copy the sample, odd outputs average neighbors (edge
+    clamped). Broadcast+reshape — no gather, fuses into the consumer."""
+    import jax
+    import jax.numpy as jnp
+
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(c, 1, c.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis],
+                              axis=axis)], axis=axis)
+    pair = jnp.stack([c, (c + nxt) * 0.5], axis=axis + 1)
+    shape = list(c.shape)
+    shape[axis] *= 2
+    return pair.reshape(shape)
+
+
+def yuv420_to_rgb_device(y_u8, uv_u8):
+    """Device-side inverse of rgb_to_yuv420: co-sited bilinear chroma
+    upsample + BT.601 studio-swing matrix (Y scaled 255/219, C scaled
+    255/224). Returns float RGB in [0, 255]."""
+    import jax.numpy as jnp
+
+    y = (y_u8.astype(jnp.float32) - 16.0) * (255.0 / 219.0)
+    uv = _cosited_up2x(_cosited_up2x(uv_u8.astype(jnp.float32), 1), 2)
+    cb = uv[..., 0] - 128.0
+    cr = uv[..., 1] - 128.0
+    rgb = jnp.stack([y + 1.59602 * cr,
+                     y - 0.39176 * cb - 0.81297 * cr,
+                     y + 2.01723 * cb], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0)
+
+
+def unpack_yuv420_device(flat, h: int, w: int):
+    """(B, 1.5*h*w) uint8 wire rows -> (B, h, w, 3) float RGB in
+    [0, 255] (device). Inverse of `pack_yuv420`."""
+    n = flat.shape[0]
+    y = flat[:, :h * w].reshape(n, h, w)
+    uv = flat[:, h * w:].reshape(n, h // 2, w // 2, 2)
+    return yuv420_to_rgb_device(y, uv)
+
+
+def yuv420_to_rgb_host(y_u8: np.ndarray, uv_u8: np.ndarray) -> np.ndarray:
+    """Numpy mirror of the device inverse (for host-side visualization
+    of packed train batches). Returns uint8 RGB."""
+    y = (y_u8.astype(np.float32) - 16.0) * (255.0 / 219.0)
+    uv = uv_u8.astype(np.float32)
+    for axis in (1, 2):
+        idx = np.minimum(np.arange(1, uv.shape[axis] + 1), uv.shape[axis] - 1)
+        nxt = np.take(uv, idx, axis=axis)
+        pair = np.stack([uv, (uv + nxt) * 0.5], axis=axis + 1)
+        shape = list(uv.shape)
+        shape[axis] *= 2
+        uv = pair.reshape(shape)
+    cb = uv[..., 0] - 128.0
+    cr = uv[..., 1] - 128.0
+    rgb = np.stack([y + 1.59602 * cr,
+                    y - 0.39176 * cb - 0.81297 * cr,
+                    y + 2.01723 * cb], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)

@@ -47,77 +47,9 @@ def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
-# VisDrone images are 4:2:0 JPEGs, so half-resolution chroma planes are
-# exactly what the source files carry — shipping them instead of
-# upsampled RGB halves the host->device bytes without discarding source
-# information. The host side MUST be cheap: the eval host may be a
-# single core, and a numpy float conversion (~6 passes over 78 MB/batch)
-# costs seconds — it was the actual bottleneck behind an apparent
-# "transport-bound" eval pipeline. cv2's SIMD I420 conversion does a
-# 16-image 768x1408 batch in ~23 ms. Convention is therefore cv2's:
-# BT.601 STUDIO swing (Y 16-235, C 16-240), chroma point-sampled at the
-# top-left of each 2x2 (measured; see _yuv420_to_rgb_device for the
-# matching inverse).
-def rgb_to_yuv420(rgb_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """(B, H, W, 3) uint8 RGB -> (Y (B,H,W), UV (B,H/2,W/2,2)) uint8.
-    H and W must be even (bucket shapes are multiples of 64/128)."""
-    bs, h, w = rgb_u8.shape[:3]
-    try:
-        import cv2
-    except ImportError:
-        cv2 = None
-    if cv2 is not None:
-        y = np.empty((bs, h, w), np.uint8)
-        uv = np.empty((bs, h // 2, w // 2, 2), np.uint8)
-        q = h * w // 4
-        for i in range(bs):
-            # I420 layout is plane-contiguous (Y: h*w, U: h*w/4,
-            # V: h*w/4); index by flat offset — row slicing would need
-            # h % 4 == 0, but tight wire shapes only guarantee even
-            flat = cv2.cvtColor(rgb_u8[i], cv2.COLOR_RGB2YUV_I420).reshape(-1)
-            y[i] = flat[:h * w].reshape(h, w)
-            uv[i, ..., 0] = flat[h * w:h * w + q].reshape(h // 2, w // 2)
-            uv[i, ..., 1] = flat[h * w + q:].reshape(h // 2, w // 2)
-        return y, uv
-    # numpy fallback, same convention (studio swing, top-left chroma)
-    f = rgb_u8.astype(np.float32)
-    r, g, b = f[..., 0], f[..., 1], f[..., 2]
-    y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
-    rs, gs, bs_ = r[:, ::2, ::2], g[:, ::2, ::2], b[:, ::2, ::2]
-    cb = 128.0 - 0.148 * rs - 0.291 * gs + 0.439 * bs_
-    cr = 128.0 + 0.439 * rs - 0.368 * gs - 0.071 * bs_
-    y_u8 = np.clip(y + 0.5, 0, 255).astype(np.uint8)
-    uv_u8 = np.clip(np.stack([cb, cr], -1) + 0.5, 0, 255).astype(np.uint8)
-    return y_u8, uv_u8
-
-
-def _cosited_up2x(c: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """2x linear upsample along `axis` for CO-SITED samples (sample k
-    sits at full-res position 2k, cv2's I420 chroma siting): even
-    outputs copy the sample, odd outputs average neighbors (edge
-    clamped). Broadcast+reshape — no gather, fuses into the consumer."""
-    nxt = jnp.concatenate(
-        [jax.lax.slice_in_dim(c, 1, c.shape[axis], axis=axis),
-         jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis],
-                              axis=axis)], axis=axis)
-    pair = jnp.stack([c, (c + nxt) * 0.5], axis=axis + 1)
-    shape = list(c.shape)
-    shape[axis] *= 2
-    return pair.reshape(shape)
-
-
-def _yuv420_to_rgb_device(y_u8: jnp.ndarray, uv_u8: jnp.ndarray) -> jnp.ndarray:
-    """Device-side inverse of rgb_to_yuv420: co-sited bilinear chroma
-    upsample + BT.601 studio-swing matrix (Y scaled 255/219, C scaled
-    255/224). Returns float RGB in [0, 255]."""
-    y = (y_u8.astype(jnp.float32) - 16.0) * (255.0 / 219.0)
-    uv = _cosited_up2x(_cosited_up2x(uv_u8.astype(jnp.float32), 1), 2)
-    cb = uv[..., 0] - 128.0
-    cr = uv[..., 1] - 128.0
-    rgb = jnp.stack([y + 1.59602 * cr,
-                     y - 0.39176 * cb - 0.81297 * cr,
-                     y + 2.01723 * cb], axis=-1)
-    return jnp.clip(rgb, 0.0, 255.0)
+# YUV 4:2:0 transport (rationale + conventions in data/yuv420.py).
+from rrnet_tpu.data.yuv420 import (  # noqa: E402
+    rgb_to_yuv420, yuv420_to_rgb_device as _yuv420_to_rgb_device)
 
 
 def _flip_valid_width(img: jnp.ndarray, w_valid: jnp.ndarray) -> jnp.ndarray:

@@ -121,11 +121,19 @@ class Trainer:
         mean = jnp.asarray(self.cfg.train.mean, jnp.float32)
         std = jnp.asarray(self.cfg.train.std, jnp.float32)
 
+        ch, cw = self.cfg.train.crop_size
+
         def step_fn(state: TrainState, images, annos, valid):
-            # uint8 batches are normalized on device (4x smaller host->
-            # device transfer); float batches are assumed pre-normalized
-            # (synthetic-test path).
-            if images.dtype == jnp.uint8:
+            # Input transports (all normalized on device):
+            #   (B, 1.5*H*W) uint8 — packed YUV 4:2:0 wire rows
+            #     (train.transport='yuv420'; half the bytes of RGB)
+            #   (B, H, W, 3) uint8 — raw RGB crops (transport='rgb')
+            #   (B, H, W, 3) float — pre-normalized (synthetic tests)
+            if images.ndim == 2:
+                from rrnet_tpu.data.yuv420 import unpack_yuv420_device
+                images = unpack_yuv420_device(images, ch, cw) / 255.0
+                images = (images - mean) / std
+            elif images.dtype == jnp.uint8:
                 images = (images.astype(jnp.float32) / 255.0 - mean) / std
 
             def loss_fn(params):

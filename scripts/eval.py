@@ -42,7 +42,10 @@ def main():
     from rrnet_tpu.evallib.metrics import evaluate_results
     from rrnet_tpu.models import build_model
     from rrnet_tpu.train.state import create_train_state
+    from rrnet_tpu.utils.cache import enable_compilation_cache
     from rrnet_tpu.utils import checkpoint as ckpt
+
+    enable_compilation_cache()
 
     cfg = cfglib.PRESETS[args.config]()
     cfg = cfglib.apply_overrides(cfg, args.overrides)

@@ -36,6 +36,13 @@ def _visualize_batch(trainer, state, batch, cfg):
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     img = np.asarray(batch["images"])[0:1]
+    if img.ndim == 2:
+        # packed YUV420 wire rows (train.transport='yuv420')
+        from rrnet_tpu.data.yuv420 import yuv420_to_rgb_host
+        h, w = cfg.train.crop_size
+        y = img[:, :h * w].reshape(1, h, w)
+        uv = img[:, h * w:].reshape(1, h // 2, w // 2, 2)
+        img = yuv420_to_rgb_host(y, uv)
     if img.dtype == np.uint8:
         base_u8 = img[0]
         mean = np.asarray(cfg.train.mean, np.float32)
@@ -95,8 +102,11 @@ def main():
     from rrnet_tpu import config as cfglib
     from rrnet_tpu.data.loader import DevicePrefetcher, TrainLoader
     from rrnet_tpu.train import Trainer
+    from rrnet_tpu.utils.cache import enable_compilation_cache
     from rrnet_tpu.utils.logger import Logger
     from rrnet_tpu.utils import checkpoint as ckpt
+
+    enable_compilation_cache()
 
     cfg = cfglib.PRESETS[args.config]()
     cfg = cfglib.apply_overrides(cfg, args.overrides)

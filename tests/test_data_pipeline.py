@@ -105,7 +105,9 @@ def test_train_loader_batches():
     loader = TrainLoader(cfg, batch_size=2, dataset=ds, num_threads=2)
     try:
         batch = loader.get_batch()
-        assert batch["images"].shape == (2, 512, 512, 3)
+        # default transport is yuv420: packed (B, 1.5*H*W) uint8 rows
+        assert batch["images"].shape == (2, 512 * 512 * 3 // 2)
+        assert batch["images"].dtype == np.uint8
         assert batch["annos"].shape == (2, 64, 8)
         assert batch["valid"].shape == (2, 64)
         assert batch["valid"].any()

@@ -98,3 +98,63 @@ def test_transport_equivalence_eval():
     assert a.shape[1] == 6 and b.shape[1] == 6
     # aggregate score mass within 5% — same image, same weights
     assert abs(a[:, 4].sum() - b[:, 4].sum()) / max(a[:, 4].sum(), 1e-9) < 0.05
+
+
+def test_pack_unpack_yuv420_roundtrip():
+    """Packed train-wire rows -> device unpack must equal the plane
+    converter composed by hand."""
+    from rrnet_tpu.data.yuv420 import (
+        pack_yuv420, unpack_yuv420_device, yuv420_to_rgb_host)
+    rng = np.random.RandomState(1)
+    img = _smooth_image(rng, 64, 96)[None].repeat(2, axis=0)
+    flat = pack_yuv420(img)
+    assert flat.shape == (2, 64 * 96 * 3 // 2) and flat.dtype == np.uint8
+    rec = np.asarray(unpack_yuv420_device(jnp.asarray(flat), 64, 96))
+    err = np.abs(rec - img.astype(np.float32))
+    assert err.mean() < 2.5, err.mean()
+    # host mirror of the device inverse matches to rounding
+    y = flat[:, :64 * 96].reshape(2, 64, 96)
+    uv = flat[:, 64 * 96:].reshape(2, 32, 48, 2)
+    host = yuv420_to_rgb_host(y, uv)
+    assert np.abs(host.astype(np.float32) - rec).max() <= 1.0
+
+
+@pytest.mark.slow
+def test_train_transport_yuv420_step():
+    """TrainLoader(transport='yuv420') must emit packed rows and the
+    train step must consume them, producing a loss close to the rgb
+    transport's on the same underlying samples (chroma smoothing only)."""
+    import os
+    from rrnet_tpu.data.loader import TrainLoader
+    from rrnet_tpu.train import Trainer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    losses = {}
+    for transport in ("rgb", "yuv420"):
+        cfg = cfglib.centernet_config()
+        for k, v in {
+            "data_root": os.path.join(repo, "data", "demo"),
+            "model.backbone": "tiny_hourglass",
+            "train.batch_size": 2,
+            "train.crop_size": (128, 128),
+            "train.max_objects": 64,
+            "train.fill_duck": False,
+            "train.transport": transport,
+        }.items():
+            cfg = cfglib.set_by_path(cfg, k, v)
+        from rrnet_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(cfg.mesh, devices=jax.devices()[:1])
+        loader = TrainLoader(cfg, 2, num_threads=1)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state()
+        batch = loader.get_batch()
+        if transport == "yuv420":
+            assert batch["images"].ndim == 2
+            assert batch["images"].shape[1] == 128 * 128 * 3 // 2
+        else:
+            assert batch["images"].shape[1:] == (128, 128, 3)
+        _, metrics = trainer.train_step(state, trainer.shard(batch))
+        losses[transport] = float(metrics["total"])
+        loader.close()
+    assert np.isfinite(losses["rgb"]) and np.isfinite(losses["yuv420"])
+    assert abs(losses["rgb"] - losses["yuv420"]) / losses["rgb"] < 0.05, losses

@@ -11,12 +11,24 @@ per-image protocol, so this is the like-for-like comparison).
 
 Transport: images enter the chip as JPEG-native YUV 4:2:0 planes
 (1.5 B/px; VisDrone JPEGs are 4:2:0, so half-res chroma is all the
-source carries) and are reconstructed to RGB on device. Uploads overlap
-compute through a 3-stage pipeline (2 upload threads, depth-4 queue).
+source carries) and are reconstructed to RGB on device. Uploads are a
+single serialized stream (concurrent device_puts contend on this rig's
+tunnel) overlapping compute through a depth-6 pipeline.
+
+Measurement: the dev rig's host->device tunnel alternates between
+~1.4 GB/s and ~10-40 MB/s in windows of minutes (independent of our
+traffic; a real TPU host's PCIe does not do this). The run therefore
+(a) probes the link and prefers starting trials in usable windows,
+(b) bounds every trial with a deadline so a mid-trial collapse aborts
+the trial instead of stalling for minutes (r2 saw one 936s trial), and
+(c) reports the MEDIAN of completed trials as `value` — a sustained
+figure, not best-of-N (r2 advisor) — with every trial, abort, and probe
+in the JSON so transport weather is separable from framework
+performance.
 
 Prints ONE JSON line:
   {"metric": "eval_images_per_sec_per_chip", "value": N,
-   "unit": "img/s", "vs_baseline": N / 4.952}
+   "unit": "img/s", "vs_baseline": N / 4.952, ...}
 """
 
 import json
@@ -30,13 +42,19 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 548.0 / 110.65   # reference scripts/CTNet/eval.py:22-23
 VAL_H, VAL_W = 765, 1360                # VisDrone dominant val resolution
 
+TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", 1140.0))
+FAST_BW = 120.0      # MB/s probe level at which the pipeline is compute-bound
+OK_BW = 55.0         # MB/s at which transport still sustains ~>7x baseline
+MIN_TRIALS = 4
+MAX_TRIALS = 10
+
 
 def main():
     import jax
 
     from rrnet_tpu import config as cfglib
     from rrnet_tpu.data.visdrone import VisDroneDataset
-    from rrnet_tpu.evallib.infer import Evaluator
+    from rrnet_tpu.evallib.infer import Evaluator, StagedBatch
     from rrnet_tpu.models import build_model
     from rrnet_tpu.utils.cache import enable_compilation_cache
 
@@ -77,100 +95,128 @@ def main():
     ev.predict_batch(variants)
     warmup = time.time() - t0
 
-    # The dev rig's host->device tunnel alternates between ~1.4 GB/s and
-    # ~10-30 MB/s in windows of minutes (independent of our traffic; a
-    # real TPU host's PCIe does not do this). The timed section needs
-    # ~110 MB/s to be compute-bound; probe and wait (bounded) for a
-    # usable window so the recorded number measures the framework, not
-    # transient rig congestion. Probes are reported either way.
-    def probe_bw():
-        buf = np.random.randint(0, 255, (16 * 1024 * 1024,), np.uint8)
+    t_start = time.time()
+
+    def left():
+        return TIME_BUDGET - (time.time() - t_start)
+
+    def probe_bw(mb=16):
+        buf = np.random.randint(0, 255, (mb * 1024 * 1024,), np.uint8)
         t0 = time.time()
         jax.device_put(buf).block_until_ready()
-        return 16.0 / (time.time() - t0)
+        return mb / (time.time() - t0)
 
-    probes = [round(probe_bw(), 1)]
-    waited = 0.0
-    while probes[-1] < 120 and waited < 120:
-        time.sleep(15)
-        waited += 15
-        probes.append(round(probe_bw(), 1))
-    print(f"# transport probes (MB/s): {probes} (waited {waited:.0f}s)",
-          file=sys.stderr)
+    probes = []
 
-    # Timed: 3-stage software pipeline (upload threads -> compute ->
-    # host collect), mirroring Evaluator.evaluate_split. The run is
-    # split into short trials and the BEST trial is recorded: the
-    # tunnel's bandwidth windows (GB/s vs tens of MB/s, minutes each —
-    # scripts/probe_transport.py) otherwise make the number measure the
-    # weather during one long run instead of the framework. All trial
-    # rates + link probes are reported alongside for transparency.
+    def gate_now():
+        """Adaptive weather gate: insist on a compute-bound window while
+        the budget is fresh, then settle for the best weather actually
+        observed — so the bench always runs several trials at the best
+        available transport instead of burning its budget hunting for a
+        window that never opens."""
+        frac = (time.time() - t_start) / TIME_BUDGET
+        if frac < 0.35:
+            return FAST_BW
+        if frac < 0.6:
+            return OK_BW
+        best = max(probes) if probes else 0.0
+        return min(OK_BW, 0.85 * best)
+
     from concurrent.futures import ThreadPoolExecutor
 
     n_batches = 8
-    n_trials = 8
     depth = 6
-    time_budget = 420.0
     # single worker: the eval host may be a single core, and concurrent
     # device_puts contend on the tunnel (scripts/probe_transport.py) —
     # strictly serialized uploads are fastest.
     uploader = ThreadPoolExecutor(max_workers=1)
 
-    def run_pipeline():
+    # staging bytes per batch (YUV420 = 1.5 B/px on the tight wire shape)
+    staged0 = ev._upload(variants)
+    batch_mb = sum(np.prod(p.shape) for p in staged0.payload) / 1e6
+    n = n_batches * batch
+
+    def run_pipeline(deadline_s):
+        """One trial: depth-6 upload->compute->collect pipeline over
+        n_batches. Aborts (returns None) if the deadline passes — a
+        weather collapse mid-trial must not stall the whole bench."""
         futs = [uploader.submit(ev._upload, variants)
                 for _ in range(n_batches)]
         t0 = time.time()
+        deadline = t0 + deadline_s
         in_flight = []
-        preds = None
-        for i in range(n_batches):
-            in_flight.append(ev.dispatch_batch(futs[i].result()))
-            if len(in_flight) >= depth:
-                preds = ev.collect(in_flight.pop(0))
-        while in_flight:
-            preds = ev.collect(in_flight.pop(0))
-        return time.time() - t0, preds
+        try:
+            for i in range(n_batches):
+                timeout = max(0.1, deadline - time.time())
+                staged = futs[i].result(timeout=timeout)
+                in_flight.append(ev.dispatch_batch(staged))
+                if len(in_flight) >= depth:
+                    ev.collect(in_flight.pop(0))
+                if time.time() > deadline:
+                    raise TimeoutError
+            while in_flight:
+                ev.collect(in_flight.pop(0))
+                if time.time() > deadline:
+                    raise TimeoutError
+            return time.time() - t0
+        except TimeoutError:
+            for f in futs:
+                f.cancel()
+            while in_flight:          # drain dispatched compute
+                ev.collect(in_flight.pop(0))
+            return None
 
-    # staging bytes per batch (YUV420 = 1.5 B/px on the tight wire shape)
-    payload, bucket, _, _tight = ev._upload(variants)
-    batch_mb = sum(np.prod(p.shape) for p in payload) / 1e6
-
-    n = n_batches * batch
-    trials = []
-    t_start = time.time()
-    for t in range(n_trials):
-        if t > 0:
-            # hunt a fast window between trials (windows flip on a
-            # minutes timescale; trials themselves take seconds)
-            w0 = time.time()
-            while (time.time() - w0 < 60 and
-                   time.time() - t_start < time_budget and
-                   probe_bw() < 120):
-                time.sleep(10)
-        elapsed, preds = run_pipeline()
-        trials.append(round(n / elapsed, 3))
-        print(f"# trial {t + 1}: {n} imgs in {elapsed:.2f}s = "
-              f"{n / elapsed:.2f} img/s "
-              f"({batch_mb * n_batches / elapsed:.0f} MB/s sustained)",
-              file=sys.stderr)
-        if time.time() - t_start > time_budget and t + 1 < n_trials:
-            print(f"# stopping after {t + 1} trials "
-                  f"({time.time() - t_start:.0f}s spent)", file=sys.stderr)
+    # In a fast window the trial takes ~n/ceiling + upload ~ 5s; give
+    # generous slack, but far below the r2 936s stall.
+    trial_deadline = 60.0
+    trials, aborted = [], 0
+    while len(trials) < MAX_TRIALS and left() > trial_deadline + 20:
+        bw = probe_bw()
+        probes.append(round(bw, 1))
+        # final phase: if gating starved us of trials, run regardless
+        must_run = (left() < TIME_BUDGET * 0.25 and len(trials) < MIN_TRIALS)
+        if bw < gate_now() and not must_run:
+            time.sleep(8)
+            continue
+        elapsed = run_pipeline(trial_deadline)
+        if elapsed is None:
+            aborted += 1
+            print(f"# trial aborted at {trial_deadline:.0f}s deadline "
+                  f"(window collapsed; probe was {bw:.0f} MB/s)",
+                  file=sys.stderr)
+            continue
+        rate = n / elapsed
+        trials.append(round(rate, 3))
+        print(f"# trial {len(trials)}: {n} imgs in {elapsed:.2f}s = "
+              f"{rate:.2f} img/s "
+              f"({batch_mb * n_batches / elapsed:.0f} MB/s sustained, "
+              f"probe {bw:.0f} MB/s)", file=sys.stderr)
+        if len(trials) >= MIN_TRIALS and left() < TIME_BUDGET * 0.2:
             break
-    img_per_sec = max(trials)
-    pred = preds[0]
+    if not trials:
+        # never leave the artifact empty: one unbounded-but-capped trial
+        elapsed = run_pipeline(TIME_BUDGET)
+        trials.append(round(n / max(elapsed or TIME_BUDGET, 1e-9), 3))
+
+    ordered = sorted(trials)
+    median = ordered[len(ordered) // 2] if len(ordered) % 2 else float(
+        np.mean(ordered[len(ordered) // 2 - 1:len(ordered) // 2 + 1]))
 
     result = {
         "metric": "eval_images_per_sec_per_chip",
-        "value": round(img_per_sec, 3),
+        "value": round(median, 3),
         "unit": "img/s",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "vs_baseline": round(median / BASELINE_IMG_PER_SEC, 3),
+        "value_semantics": "median of completed weather-gated trials",
         "trial_img_per_sec": trials,
+        "best_trial_img_per_sec": max(trials),
+        "aborted_trials": aborted,
         "transport_mb_per_batch": round(batch_mb, 1),
         "transport_probes_mb_per_sec": probes,
     }
-    print(f"# single-scale @ {VAL_H}x{VAL_W} (bucket {bucket}): "
-          f"warmup={warmup:.1f}s, best of {len(trials)} trials = "
-          f"{img_per_sec:.2f} img/s, {len(pred)} dets/img, "
+    print(f"# single-scale @ {VAL_H}x{VAL_W} (bucket {staged0.bucket}): "
+          f"warmup={warmup:.1f}s, median of {len(trials)} trials = "
+          f"{median:.2f} img/s (best {max(trials):.2f}), "
           f"transport={ev.transport} {batch_mb:.1f} MB/batch",
           file=sys.stderr)
 
@@ -178,7 +224,8 @@ def main():
     # real TPU host the PCIe upload (~1.6MB/img yuv420) is negligible; in
     # this dev environment the host->device tunnel is bursty
     # (~25-1500 MB/s) and can cap the end-to-end number above.
-    staged = (payload, bucket, [(VAL_H, VAL_W)] * batch, _tight)
+    staged = StagedBatch(staged0.payload, staged0.bucket,
+                         [(VAL_H, VAL_W)] * batch, staged0.tight)
     ev.collect(ev.dispatch_batch(staged))
     t0 = time.time()
     m = 10

@@ -65,11 +65,14 @@ class TrainConfig:
     pretrained: bool = True
 
     # Host->device batch transport (see ValConfig.transport / data/
-    # yuv420.py): 'yuv420' ships train crops as packed (B, 1.5*H*W)
-    # uint8 YUV planes, reconstructed to RGB on device inside the train
-    # step — half the wire bytes of 'rgb' uint8 crops. 'rgb' ships
-    # (B, H, W, 3) uint8.
-    transport: str = "yuv420"
+    # yuv420.py): 'rgb' (default) ships full-precision (B, H, W, 3)
+    # uint8 crops, matching the reference's training inputs. 'yuv420'
+    # is an opt-in for bandwidth-constrained links: packed (B, 1.5*H*W)
+    # uint8 YUV planes reconstructed to RGB on device — half the wire
+    # bytes, but lossy (4:2:0 chroma re-subsampling of augmented crops),
+    # so it is NOT the training default. On a real TPU host PCIe never
+    # gates at these sizes.
+    transport: str = "rgb"
 
 
 @dataclass

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,19 @@ from rrnet_tpu.ops.heatmap import topk_decode
 
 def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
+
+
+class StagedBatch(NamedTuple):
+    """A host batch already uploaded to the device (from
+    `Evaluator._upload`) — passing this to `dispatch_batch` skips the
+    upload, so transfers can be staged on a background thread and
+    overlap the previous batch's compute. A plain list/tuple of images
+    is never mistaken for one (ADVICE r2: a 4-image tuple used to parse
+    as a staged handle)."""
+    payload: tuple          # device arrays, concat along batch = wire rows
+    bucket: Tuple[int, int]
+    hws: List[Tuple[int, int]]
+    tight: Tuple[int, int]  # wire shape (padding to bucket added on device)
 
 
 # YUV 4:2:0 transport (rationale + conventions in data/yuv420.py).
@@ -346,7 +359,7 @@ class Evaluator:
                     max_workers=self.upload_streams)
             chunks = np.array_split(flat, self.upload_streams, axis=0)
             payload = tuple(self._upload_pool.map(jax.device_put, chunks))
-        return payload, (bh, bw), list(zip(hs, ws)), (th, tw)
+        return StagedBatch(payload, (bh, bw), list(zip(hs, ws)), (th, tw))
 
     def _scaled_shape(self, bucket, scale):
         return (_round_up(int(bucket[0] * scale), self.bucket_multiple),
@@ -361,7 +374,7 @@ class Evaluator:
         (from `self._upload`, e.g. staged on a background thread so the
         host->device transfer overlaps the previous batch's compute)."""
         cfg = self.cfg
-        if isinstance(images, tuple) and len(images) == 4:
+        if isinstance(images, StagedBatch):
             payload, bucket, hws, tight = images
         else:
             payload, bucket, hws, tight = self._upload(images)

@@ -15,9 +15,13 @@ decay only acts between boxes of the same class, which is mathematically
 identical to looping classes separately (decays across classes commute)
 but runs as one fused kernel.
 
-A Pallas bitmask-parallel variant of hard NMS for large K lives in
-`rrnet_tpu.ops.pallas_nms` (mirroring the tile design of the reference's
-nms_kernel.cu, rebuilt for VMEM tiles).
+A Pallas single-program VMEM kernel for SOFT-NMS (the sequential
+select/decay loop, which XLA cannot batch) lives in
+`rrnet_tpu.ops.pallas_nms`. Hard NMS needs no Pallas kernel: the
+fixpoint formulation below runs the whole suppression as a handful of
+(K, K) MXU matvecs, which is already the TPU-fast shape (the reference's
+nms_kernel.cu bitmask tiling exists to work around CUDA's lack of a
+fast dense masked matvec at this size).
 """
 
 from __future__ import annotations

@@ -9,8 +9,10 @@ inside `shard_map` (compiled by XLA onto ICI), SyncBN statistics ride
 the same axis via flax's BatchNorm(axis_name=...).
 
 Multi-host: call `jax.distributed.initialize()` before `create_mesh`;
-`jax.devices()` then spans all hosts and each process feeds its
-`local_batch_slice` of the global batch.
+`jax.devices()` then spans all hosts, the loader shards the dataset by
+`jax.process_index()`, and `shard_batch` assembles each process's local
+batch into the global jax.Array
+(tests/test_multiprocess.py runs this for real with two CPU processes).
 """
 
 from __future__ import annotations
@@ -43,22 +45,33 @@ def create_mesh(cfg: Optional[MeshConfig] = None,
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place a host batch pytree on the mesh, sharded on the leading
-    (batch) dim — the TPU-native analogue of DistributedSampler."""
+    (batch) dim — the TPU-native analogue of DistributedSampler.
+
+    Single-process: a plain sharded device_put. Multi-process (the
+    reference's multi-node DDP, operators/distributed_wrapper.py:28-45):
+    each process holds only ITS shard of the global batch (the loader
+    shards by process), so the local array is assembled into the global
+    jax.Array via `make_array_from_process_local_data` — a device_put
+    with a global-mesh sharding would misread the local batch as the
+    global one."""
+    multiprocess = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+        sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (e.g. train state) across the mesh."""
+    """Replicate a pytree (e.g. train state) across the mesh. In a
+    multi-process mesh every process must hold the same host values
+    (deterministic init from the shared seed)."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
-
-
-def local_batch_slice(global_batch_size: int) -> slice:
-    """This process's contiguous slice of the global batch (multi-host
-    input pipeline sharding; single-host returns the whole range)."""
-    per = global_batch_size // jax.process_count()
-    start = jax.process_index() * per
-    return slice(start, start + per)

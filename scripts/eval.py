@@ -16,9 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from rrnet_tpu import config as _cfglib
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="rrnet",
-                    choices=["rrnet", "centernet", "retinanet"])
+                    choices=sorted(_cfglib.PRESETS))
     ap.add_argument("--ckpt", required=True,
                     help="checkpoint dir or ckp-N path")
     ap.add_argument("--split", default="val")

@@ -78,9 +78,11 @@ def _visualize_batch(trainer, state, batch, cfg):
 
 
 def main():
+    from rrnet_tpu import config as _cfglib
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="rrnet",
-                    choices=["rrnet", "centernet", "retinanet"])
+                    choices=sorted(_cfglib.PRESETS))
     ap.add_argument("--steps", type=int, default=None,
                     help="override train.iter_num")
     ap.add_argument("--resume", default=None,

@@ -101,11 +101,12 @@ def test_train_loader_batches():
     cfg = cfglib.rrnet_config()
     cfg = cfglib.set_by_path(cfg, "data_root", DEMO)
     cfg = cfglib.set_by_path(cfg, "train.max_objects", 64)
+    # opt-in packed YUV420 wire rows (train default is full-precision rgb)
+    cfg = cfglib.set_by_path(cfg, "train.transport", "yuv420")
     ds = VisDroneDataset(DEMO, split="", with_road_map=True)
     loader = TrainLoader(cfg, batch_size=2, dataset=ds, num_threads=2)
     try:
         batch = loader.get_batch()
-        # default transport is yuv420: packed (B, 1.5*H*W) uint8 rows
         assert batch["images"].shape == (2, 512 * 512 * 3 // 2)
         assert batch["images"].dtype == np.uint8
         assert batch["annos"].shape == (2, 64, 8)

@@ -145,6 +145,11 @@ def main():
         "pallas_speedup_vs_host": round(t_host / t_pallas, 2),
         "hard_nms_fixpoint_ms": round(t_hard * 1e3, 3),
         "kept_boxes": int(keep_x.sum()),
+        "note": "host C++ wall-clock excludes the device->host->device "
+                "round trip (2x ~5ms RPC + transfer + pipeline stall) "
+                "that using it inside RRNet's device loop would cost; "
+                "the Pallas kernel keeps stage-1 NMS -> stage-2 ROI "
+                "align entirely on device.",
     }
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

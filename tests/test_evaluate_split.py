@@ -94,9 +94,51 @@ def test_evaluate_split_with_mesh_pads_leftovers(tmp_path):
     assert sorted(os.listdir(out)) == [f"img{i:03d}.txt" for i in range(5)]
 
 
+def _blob_batch(b=8, n=4, hw=64, seed=11):
+    """Images with bright axis-aligned rectangles on dark noise, annotated
+    as objects — a tiny model overfits these in a few dozen steps."""
+    rng = np.random.RandomState(seed)
+    images = rng.rand(b, hw, hw, 3).astype(np.float32) * 0.1
+    annos = np.zeros((b, n, 8), np.float32)
+    for i in range(b):
+        for j in range(n):
+            w, h = rng.randint(8, 20, 2)
+            x = rng.randint(0, hw - w)
+            y = rng.randint(0, hw - h)
+            images[i, y:y + h, x:x + w] = rng.rand(3) * 0.6 + 0.4
+            annos[i, j] = [x, y, w, h, 1, rng.randint(1, 11), 0, 0]
+    valid = np.ones((b, n), bool)
+    return images, annos, valid
+
+
+def _overfit_tiny_centernet(cfg, steps=40):
+    """Short synthetic overfit -> confident, well-separated heatmap peaks
+    (VERDICT r2 #8: with trained weights top-k membership is stable, so
+    the sharded-eval parity assertion can be near-exact instead of 75%)."""
+    from rrnet_tpu.train import Trainer
+
+    tcfg = cfglib.set_by_path(cfg, "train.crop_size", (64, 64))
+    tcfg = cfglib.set_by_path(tcfg, "train.max_objects", 8)
+    trainer = Trainer(tcfg)
+    state = trainer.init_state()
+    images, annos, valid = _blob_batch()
+    mean = np.asarray(tcfg.train.mean, np.float32)
+    std = np.asarray(tcfg.train.std, np.float32)
+    batch = trainer.shard({
+        "images": jnp.asarray((images - mean) / std),
+        "annos": jnp.asarray(annos), "valid": jnp.asarray(valid)})
+    for _ in range(steps):
+        state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["total"]))
+    return ({"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            images)
+
+
 def test_mesh_sharded_eval_matches_single():
     """Evaluator(mesh=...): batches shard over the data axis of an
-    8-device mesh and produce the same detections as unsharded eval."""
+    8-device mesh and produce the same detections as unsharded eval.
+    Uses overfit weights so the per-row assertion is near-exact."""
     import jax
     from jax.sharding import Mesh
 
@@ -104,13 +146,9 @@ def test_mesh_sharded_eval_matches_single():
     cfg = cfglib.set_by_path(cfg, "model.backbone", "tiny_hourglass")
     cfg = cfglib.set_by_path(cfg, "val.scales", (1.0,))
     cfg = cfglib.set_by_path(cfg, "val.flip_tta", False)
+    variables, images = _overfit_tiny_centernet(cfg)
     model = build_model(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 3)), train=False)
-
-    rng = np.random.RandomState(7)
-    imgs = [(rng.rand(100, 150, 3) * 255).astype(np.uint8)
-            for _ in range(8)]
+    imgs = [(im * 255).clip(0, 255).astype(np.uint8) for im in images]
 
     plain = Evaluator(cfg, variables, model=model, bucket_multiple=64,
                       decode_topk=20)
@@ -123,14 +161,21 @@ def test_mesh_sharded_eval_matches_single():
     out = sharded.predict_batch(imgs)
 
     assert len(base) == len(out) == 8
-    # untrained-model scores are near-tied noise; sharded reduction
-    # order legitimately perturbs which marginal candidates make the
-    # top-k cut. Assert the score distribution matches and the large
-    # majority of rows coincide.
     for a, b in zip(base, out):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.sort(a[:, 4]), np.sort(b[:, 4]),
-                                   atol=2e-3)
-        matched = sum(
-            np.abs(b - row[None]).max(axis=1).min() < 0.05 for row in a)
-        assert matched >= int(0.75 * len(a)), (matched, len(a))
+                                   atol=5e-3)
+        # Every trained-in detection (the overfit blobs, score >= 0.15)
+        # must have a 1:1 counterpart within bf16-ulp noise (<= 0.2 px /
+        # 5e-3 score). Only the near-tied noise floor (score ~0.07) may
+        # legitimately permute under sharded reduction layouts.
+        conf_a = a[a[:, 4] >= 0.15]
+        conf_b = b[b[:, 4] >= 0.15]
+        assert len(conf_a) == len(conf_b) >= 4
+        used = np.zeros(len(conf_b), bool)
+        for row in conf_a:
+            d = np.abs(conf_b - row[None]).max(axis=1)
+            d[used] = np.inf
+            j = int(d.argmin())
+            assert d[j] < 0.2, (row, conf_b)
+            used[j] = True

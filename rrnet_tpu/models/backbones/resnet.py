@@ -11,7 +11,8 @@ from typing import Any, Optional, Tuple
 
 from flax import linen as nn
 
-from rrnet_tpu.models.layers import BatchNorm, Bottleneck, max_pool, msra_init
+from rrnet_tpu.models.layers import (BatchNorm, Bottleneck, _StemConv,
+                                     max_pool, msra_init)
 
 
 class ResNet(nn.Module):
@@ -21,9 +22,10 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=msra_init, dtype=self.dtype,
-                    name="conv1")(x)
+        # 7x7 s2 thin-channel stem via space-to-depth (exact math,
+        # ~4x faster on the MXU than a 3-channel strided conv; layers.py)
+        x = _StemConv(64, kernel_init=msra_init, dtype=self.dtype,
+                      name="conv1")(x)
         x = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)

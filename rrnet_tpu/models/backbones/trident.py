@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rrnet_tpu.models.layers import BatchNorm, max_pool, msra_init, torch_conv_init
+from rrnet_tpu.models.layers import (BatchNorm, _StemConv, max_pool,
+                                     msra_init, torch_conv_init)
 
 
 def _shared_conv(x, kernel, stride: int, dilation: int):
@@ -167,9 +168,10 @@ class TridentResNet(nn.Module):
         layers = (3, 4, 23, 3) if self.depth == 101 else (3, 4, 6, 3)
         kw = dict(bn_axis=self.bn_axis, dtype=self.dtype)
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=msra_init, dtype=self.dtype,
-                    name="conv1")(x)
+        # 7x7 s2 thin-channel stem via space-to-depth (exact math,
+        # ~4x faster on the MXU than a 3-channel strided conv; layers.py)
+        x = _StemConv(64, kernel_init=msra_init, dtype=self.dtype,
+                      name="conv1")(x)
         x = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)

@@ -129,3 +129,29 @@ def test_rrnet_hrnetv2_attention_preset():
     assert "attention0" in names and "attention1" in names
     out = model.apply(variables, x, train=False)
     assert out.stage2_reg.shape == (1, 8, 4)
+
+
+def test_stem_conv_s2d_matches_plain_conv():
+    """The space-to-depth stem (layers._StemConv) must be bit-equivalent
+    (up to f32 summation order) to the plain 7x7 stride-2 conv, for even
+    AND odd spatial sizes, and share nn.Conv's param layout."""
+    from flax import linen as nn
+
+    from rrnet_tpu.models.layers import _StemConv, torch_conv_init
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 96, 3),
+                    jnp.float32)
+    ref = nn.Conv(16, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                  use_bias=False, kernel_init=torch_conv_init)
+    v = ref.init(rng, x)
+    stem = _StemConv(16, kernel_init=torch_conv_init)
+    sv = stem.init(rng, x)
+    assert (jax.tree.map(jnp.shape, sv["params"])
+            == jax.tree.map(jnp.shape, v["params"]))
+    for xi in (x, jnp.asarray(np.random.RandomState(1).randn(1, 63, 95, 3),
+                              jnp.float32)):
+        y = stem.apply({"params": {"kernel": v["params"]["kernel"]}}, xi)
+        y_ref = ref.apply(v, xi)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-5)

@@ -150,17 +150,22 @@ class Trainer:
             # Failure containment (the reference catches CUDA OOM and
             # skips the step, rrnet_operator.py:120-126; the analogous
             # TPU hazard is a non-finite loss/grad poisoning the params):
-            # if any replica produced a non-finite total loss, zero the
-            # update and keep the previous batch stats.
+            # if any replica produced a non-finite total loss, the
+            # update is skipped EXACTLY — params, Adam moments, step
+            # counter and batch stats all unchanged. The skip is fused
+            # into the Adam arithmetic itself (state.apply_gradients
+            # scales every delta by `good`), not a post-hoc whole-tree
+            # select, which would cost ~2k small copy/select ops/step.
             good = jax.lax.pmean(
                 jnp.isfinite(total).astype(jnp.float32), axis) >= 1.0
             metrics = jax.lax.pmean(dict(ld, total=total), axis)
             metrics["skipped"] = 1.0 - good.astype(jnp.float32)
-            updated = state.apply_gradients(grads, new_batch_stats=new_bs)
-            # exact skip: select the pre-update state (incl. optimizer
-            # moments and step counter) when the batch was poisoned
-            new_state = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), updated, state)
+            # poisoned grads must not produce NaN*0 in the fused update:
+            # sanitize them under the same `good` flag
+            grads = jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            new_state = state.apply_gradients(
+                grads, new_batch_stats=new_bs, good=good)
             return new_state, metrics
 
         sharded = shard_map(

@@ -119,3 +119,44 @@ def test_nonfinite_loss_skips_update():
     state, metrics = trainer.train_step(state, trainer.shard(synthetic_batch(8)))
     assert float(metrics["skipped"]) == 0.0
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_fused_adam_matches_optax():
+    """The fused skip-aware Adam (state.apply_gradients with good=1)
+    must track optax.adam step-for-step."""
+    import optax
+    from rrnet_tpu.train.state import TrainState
+
+    rng = np.random.RandomState(0)
+    params = {"a": jnp.asarray(rng.randn(32), jnp.float32),
+              "b": {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)}}
+    schedule = lambda c: 2.5e-4 * (0.5 ** (c // 3))  # noqa: E731
+    tx = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats={}, opt_state=opt_state, apply_fn=None,
+                       tx=tx, schedule=schedule)
+    ref_params, ref_opt = params, opt_state
+    for i in range(7):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+        state = state.apply_gradients(grads, good=jnp.float32(1.0))
+        updates, ref_opt = tx.update(grads, ref_opt, ref_params)
+        ref_params = optax.apply_updates(ref_params, updates)
+        for ours, ref in zip(jax.tree.leaves(state.params),
+                             jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-7)
+    # counters advanced identically
+    assert int(state.opt_state[0].count) == int(ref_opt[0].count) == 7
+    assert int(state.step) == 7
+
+    # and a skipped step changes nothing, including the counters
+    before = jax.device_get(state)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = state.apply_gradients(grads, good=jnp.float32(0.0))
+    for a, b in zip(jax.tree.leaves(before.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.opt_state[0].count) == 7
+    assert int(state.step) == 7

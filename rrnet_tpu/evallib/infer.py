@@ -81,7 +81,8 @@ class Evaluator:
 
     def __init__(self, cfg: Config, variables, model=None,
                  bucket_multiple: int = 128, decode_topk: int = 250,
-                 upload_streams: int = 1, mesh=None):
+                 upload_streams: int = 1, mesh=None,
+                 fuse_flip: bool = True):
         """mesh: optional jax.sharding.Mesh — eval batches are then
         sharded over the mesh's first (data) axis, so an N-chip mesh
         evaluates N images' programs concurrently (replaces the
@@ -90,6 +91,7 @@ class Evaluator:
         divisible by the data-axis size."""
         self.cfg = cfg
         self.mesh = mesh
+        self.fuse_flip = fuse_flip
         self.model = model if model is not None else build_model(cfg)
         self.variables = variables
         self.bucket_multiple = bucket_multiple
@@ -167,6 +169,12 @@ class Evaluator:
         key = (bucket, scaled, flip, batch, tight)
         if key in self._compiled:
             return self._compiled[key]
+        # flip may be False, True, or "both": the fused-TTA variant runs
+        # the unflipped and flipped halves as ONE concatenated (2B)
+        # forward — half the program dispatches (each dispatch costs an
+        # RPC on remote rigs) and better MXU utilization at small
+        # batches than the reference's one-forward-per-flip loop
+        # (operators/centernet_operator.py:266-283).
 
         name = self.cfg.model.name
         model = self.model
@@ -219,7 +227,11 @@ class Evaluator:
             vhw = jnp.stack([
                 jnp.ceil(valid_hw[:, 0] * ry),
                 jnp.ceil(valid_hw[:, 1] * rx)], axis=1).astype(jnp.int32)
-            if flip:
+            if flip == "both":
+                x = jnp.concatenate(
+                    [x, _flip_valid_width(x, vhw[:, 1])], axis=0)
+                vhw = jnp.concatenate([vhw, vhw], axis=0)
+            elif flip:
                 x = _flip_valid_width(x, vhw[:, 1])
             return x, vhw
 
@@ -383,7 +395,10 @@ class Evaluator:
         pending = []
         for scale in cfg.val.scales:
             scaled = self._scaled_shape(bucket, scale)
-            flips = (True, False) if cfg.val.flip_tta else (False,)
+            if cfg.val.flip_tta:
+                flips = ("both",) if self.fuse_flip else (True, False)
+            else:
+                flips = (False,)
             for flip in flips:
                 fn = self._predict_fn(bucket, scaled, flip, n, tight)
                 out = fn(self._arg_values, payload, vhw)
@@ -400,9 +415,13 @@ class Evaluator:
         per_img: List[List[np.ndarray]] = [[] for _ in range(n)]
         for packed, flip, ry, rx in pending:
             packed = np.asarray(packed, np.float64)
-            for b in range(n):
-                rows = packed[b][packed[b, :, 4] >= 0.0]
-                if flip:
+            # fused-TTA programs return (2n, K, 6): rows [0,n) are the
+            # unflipped halves, [n,2n) the flipped ones
+            for idx in range(packed.shape[0]):
+                b = idx % n
+                flipped = bool(flip) if flip != "both" else idx >= n
+                rows = packed[idx][packed[idx, :, 4] >= 0.0]
+                if flipped:
                     # scaled valid width, matching preprocess's
                     # float32 ceil(valid_w * rx)
                     w_s = float(np.ceil(np.float32(hws[b][1]) *

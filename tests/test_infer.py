@@ -130,3 +130,41 @@ def test_mesh_sharded_eval_matches_single_device():
         for row in r:
             d = np.abs(g - row[None]).max(axis=1)
             assert d.min() < 1e-2, (row, d.min())
+
+
+@pytest.mark.slow
+def test_fused_flip_matches_unfused():
+    """fuse_flip=True (one 2B forward per scale) must produce the same
+    confident detections as the two separate flip programs. Overfit
+    weights make top-k membership stable; only bf16-ulp deltas remain
+    (a 2B batch tiles convs differently than a B batch)."""
+    from overfit_fixture import overfit_tiny_centernet
+
+    cfg = cfglib.centernet_config()
+    cfg = cfglib.set_by_path(cfg, "model.backbone", "tiny_hourglass")
+    cfg = cfglib.set_by_path(cfg, "val.scales", (1.0, 1.25))
+    cfg = cfglib.set_by_path(cfg, "val.flip_tta", True)
+    variables, imgs = overfit_tiny_centernet()
+    imgs = imgs[:3]
+    model = build_model(cfg)
+    fused_ev = Evaluator(cfg, variables, model=model, bucket_multiple=64,
+                         decode_topk=20, fuse_flip=True)
+    unfused_ev = Evaluator(cfg, variables, model=model, bucket_multiple=64,
+                           decode_topk=20, fuse_flip=False)
+    fused = fused_ev.predict_batch(imgs)
+    unfused = unfused_ev.predict_batch(imgs)
+    assert len(fused) == len(unfused) == 3
+    for a, b in zip(fused, unfused):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.sort(a[:, 4]), np.sort(b[:, 4]),
+                                   atol=5e-3)
+        conf_a = a[a[:, 4] >= 0.15]
+        conf_b = b[b[:, 4] >= 0.15]
+        assert len(conf_a) == len(conf_b) >= 4
+        used = np.zeros(len(conf_b), bool)
+        for row in conf_a:
+            d = np.abs(conf_b - row[None]).max(axis=1)
+            d[used] = np.inf
+            j = int(d.argmin())
+            assert d[j] < 0.5, (row, conf_b)
+            used[j] = True

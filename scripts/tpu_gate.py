@@ -103,10 +103,10 @@ def main():
     results = {"device": str(jax.devices()[0]), "families": []}
     for fam in args.families.split(","):
         # reference schedule batch (4/chip, configs/rrnet_config.py:22)
-        # and the throughput-optimal batch: at 512^2 a batch of 8 runs
+        # and the throughput-optimal batches: at 512^2 a batch of 8 runs
         # at nearly the same step latency as 4 on v5e (the small-batch
         # convs underutilize the MXU), so img/s roughly doubles.
-        for batch in (None, 16):
+        for batch in (None, 8, 16):
             r = run_family(fam.strip(), args.steps, batch=batch)
             results["families"].append(r)
             print(json.dumps(r))

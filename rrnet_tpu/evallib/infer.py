@@ -27,6 +27,7 @@ k=250 (the operator's transform_bbox default).
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -62,7 +63,7 @@ class StagedBatch(NamedTuple):
 
 # YUV 4:2:0 transport (rationale + conventions in data/yuv420.py).
 from rrnet_tpu.data.yuv420 import (  # noqa: E402
-    rgb_to_yuv420, yuv420_to_rgb_device as _yuv420_to_rgb_device)
+    pack_yuv420, unpack_yuv420_device as _unpack_yuv420_device)
 
 
 def _flip_valid_width(img: jnp.ndarray, w_valid: jnp.ndarray) -> jnp.ndarray:
@@ -119,8 +120,10 @@ class Evaluator:
         self.upload_streams = max(1, int(upload_streams))
         self._upload_pool = None
         self._compiled: Dict[Tuple, callable] = {}
-        # per-bucket sticky wire shape (see _upload)
+        # per-bucket sticky wire shape + per-thread pad scratch (see
+        # _upload)
         self._tight_cache: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        self._pad_scratch: Dict[Tuple, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     def _split_variables(self, variables):
@@ -211,9 +214,7 @@ class Evaluator:
                     else jnp.concatenate(payload, axis=0))
             n = flat.shape[0]
             if transport == "yuv420":
-                y_u8 = flat[:, :th * tw].reshape(n, th, tw)
-                uv_u8 = flat[:, th * tw:].reshape(n, th // 2, tw // 2, 2)
-                x = _yuv420_to_rgb_device(y_u8, uv_u8) / 255.0
+                x = _unpack_yuv420_device(flat, th, tw) / 255.0
             else:
                 x = flat.reshape(n, th, tw, 3).astype(jnp.float32) / 255.0
             if (th, tw) != (bh, bw):
@@ -346,18 +347,31 @@ class Evaluator:
         sth, stw = self._tight_cache.get((bh, bw), (0, 0))
         th, tw = max(th, sth), max(tw, stw)
         self._tight_cache[(bh, bw)] = (th, tw)
-        padded = np.zeros((len(images), th, tw, 3), np.uint8)
+        # Reusable pad scratch per wire shape: staging must be cheap on
+        # a single-core host, so avoid allocating + zeroing 50+ MB per
+        # batch. Only the trailing pad rows/cols of each slot are
+        # re-zeroed (cheap; usually empty). Keyed additionally by
+        # thread id: _upload may run on a staging worker concurrently
+        # with a direct predict_batch call.
+        key = (threading.get_ident(), th, tw)
+        scr = self._pad_scratch.get(key)
+        if scr is None or scr.shape[0] < len(images):
+            scr = np.zeros((len(images), th, tw, 3), np.uint8)
+            self._pad_scratch[key] = scr
+        padded = scr[:len(images)]
         for i, im in enumerate(images):
             if im.dtype != np.uint8:
                 im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
             padded[i, :im.shape[0], :im.shape[1]] = im
+            if im.shape[0] < th:
+                padded[i, im.shape[0]:] = 0
+            if im.shape[1] < tw:
+                padded[i, :, im.shape[1]:] = 0
         if self.transport == "yuv420":
-            y, uv = rgb_to_yuv420(padded)
-            flat = np.concatenate(
-                [y.reshape(len(images), -1), uv.reshape(len(images), -1)],
-                axis=1)                      # (B, 1.5*H*W) per-image rows
+            # planar I420 written directly into the wire rows (dst=)
+            flat = pack_yuv420(padded)       # (B, 1.5*H*W) per-image rows
         else:
-            flat = padded.reshape(len(images), -1)
+            flat = padded.reshape(len(images), -1).copy()
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             sh = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))

@@ -40,8 +40,11 @@ def _visualize_batch(trainer, state, batch, cfg):
         # packed YUV420 wire rows (train.transport='yuv420')
         from rrnet_tpu.data.yuv420 import yuv420_to_rgb_host
         h, w = cfg.train.crop_size
+        q = h * w // 4
         y = img[:, :h * w].reshape(1, h, w)
-        uv = img[:, h * w:].reshape(1, h // 2, w // 2, 2)
+        uv = np.stack([img[:, h * w:h * w + q].reshape(1, h // 2, w // 2),
+                       img[:, h * w + q:].reshape(1, h // 2, w // 2)],
+                      axis=-1)
         img = yuv420_to_rgb_host(y, uv)
     if img.dtype == np.uint8:
         base_u8 = img[0]

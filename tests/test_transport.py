@@ -12,8 +12,9 @@ import jax.numpy as jnp
 import pytest
 
 from rrnet_tpu import config as cfglib
-from rrnet_tpu.evallib.infer import (
-    Evaluator, rgb_to_yuv420, _yuv420_to_rgb_device)
+from rrnet_tpu.evallib.infer import Evaluator
+from rrnet_tpu.data.yuv420 import (
+    rgb_to_yuv420, yuv420_to_rgb_device as _yuv420_to_rgb_device)
 from rrnet_tpu.models import build_model
 
 
@@ -113,8 +114,11 @@ def test_pack_unpack_yuv420_roundtrip():
     err = np.abs(rec - img.astype(np.float32))
     assert err.mean() < 2.5, err.mean()
     # host mirror of the device inverse matches to rounding
+    # (wire rows are planar I420: Y plane, U plane, V plane)
+    q = 64 * 96 // 4
     y = flat[:, :64 * 96].reshape(2, 64, 96)
-    uv = flat[:, 64 * 96:].reshape(2, 32, 48, 2)
+    uv = np.stack([flat[:, 64 * 96:64 * 96 + q].reshape(2, 32, 48),
+                   flat[:, 64 * 96 + q:].reshape(2, 32, 48)], axis=-1)
     host = yuv420_to_rgb_host(y, uv)
     assert np.abs(host.astype(np.float32) - rec).max() <= 1.0
 

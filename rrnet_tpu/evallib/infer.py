@@ -83,16 +83,25 @@ class Evaluator:
     def __init__(self, cfg: Config, variables, model=None,
                  bucket_multiple: int = 128, decode_topk: int = 250,
                  upload_streams: int = 1, mesh=None,
-                 fuse_flip: bool = True):
+                 fuse_flip: bool = True, quantize: Optional[str] = None):
         """mesh: optional jax.sharding.Mesh — eval batches are then
         sharded over the mesh's first (data) axis, so an N-chip mesh
         evaluates N images' programs concurrently (replaces the
         reference's single-GPU eval loop,
         operators/rrnet_operator.py:246-284). Batch sizes must be
         divisible by the data-axis size."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got "
+                             f"{quantize!r}")
         self.cfg = cfg
         self.mesh = mesh
         self.fuse_flip = fuse_flip
+        # int8 PTQ (models/layers.py quant_context): body convs run on
+        # the MXU's double-rate int8 path after `calibrate()` records
+        # per-conv input ranges. Lazy auto-calibration uses the first
+        # dispatched batch when calibrate() was never called.
+        self.quantize = quantize
+        self._quant_scales: Optional[dict] = None
         self.model = model if model is not None else build_model(cfg)
         self.variables = variables
         self.bucket_multiple = bucket_multiple
@@ -158,56 +167,23 @@ class Evaluator:
         self.variables = variables
         self._split_variables(variables)
         self._compiled.clear()
+        # activation ranges depend on the weights; recalibrate lazily
+        self._quant_scales = None
 
     # ------------------------------------------------------------------
-    def _predict_fn(self, bucket: Tuple[int, int], scaled: Tuple[int, int],
-                    flip: bool, batch: int = 1,
-                    tight: Optional[Tuple[int, int]] = None):
-        """Jitted (bucket, scaled, flip, batch) program: device-side
-        preprocess (unpack/pad/normalize/resize/flip) + forward + decode.
-        `tight` is the wire shape: images ship at the even-rounded batch
-        max size and are padded to `bucket` on device, so bucket padding
-        (e.g. 1360x765 -> 1408x768, ~4%) never crosses the link."""
-        tight = tight or bucket
-        key = (bucket, scaled, flip, batch, tight)
-        if key in self._compiled:
-            return self._compiled[key]
-        # flip may be False, True, or "both": the fused-TTA variant runs
-        # the unflipped and flipped halves as ONE concatenated (2B)
-        # forward — half the program dispatches (each dispatch costs an
-        # RPC on remote rigs) and better MXU utilization at small
-        # batches than the reference's one-forward-per-flip loop
-        # (operators/centernet_operator.py:266-283).
-
-        name = self.cfg.model.name
-        model = self.model
-        k = self.decode_topk
-        s = self.cfg.train.scale_factor
+    def _build_preprocess(self, bucket: Tuple[int, int],
+                          scaled: Tuple[int, int], flip,
+                          tight: Tuple[int, int]):
+        """Device-side preprocess closure shared by the predict programs
+        and the quantization-calibration pass: unpack wire payload ->
+        pad to bucket -> normalize -> resize to `scaled` -> optional
+        flip. Returns (x, scaled_valid_hw)."""
         mean = jnp.asarray(self.mean)
         std = jnp.asarray(self.std)
-        sh, sw = scaled
         transport = self.transport
-        rebuild = self._rebuild_variables
-
         bh, bw = bucket
-
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            _data = NamedSharding(
-                self.mesh, PartitionSpec(self.mesh.axis_names[0]))
-            _repl = NamedSharding(self.mesh, PartitionSpec())
-
-            def maybe_jit(f):
-                return jax.jit(
-                    f,
-                    in_shardings=(
-                        [_repl] * len(self._arg_values),
-                        (_data,) * 1, _data),
-                    out_shardings=_data)
-        else:
-            maybe_jit = jax.jit
-
         th, tw = tight
+        sh, sw = scaled
 
         def preprocess(payload, valid_hw):
             flat = (payload[0] if len(payload) == 1
@@ -235,6 +211,89 @@ class Evaluator:
             elif flip:
                 x = _flip_valid_width(x, vhw[:, 1])
             return x, vhw
+
+        return preprocess
+
+    def calibrate(self, images) -> dict:
+        """Post-training-quantization calibration: run one representative
+        batch (a list of images, or an already-staged upload) through
+        the eval preprocess + forward with models.layers' "calibrate"
+        mode active, recording every eligible conv's input absmax.
+        Stores the scales for subsequent int8 programs and returns them.
+        Compiled programs are dropped (they were traced without the
+        int8 mode)."""
+        from rrnet_tpu.models.layers import (quant_context,
+                                             quant_scales_from_stats)
+        if isinstance(images, StagedBatch):
+            payload, bucket, hws, tight = images
+        else:
+            payload, bucket, hws, tight = self._upload(list(images))
+        pre = self._build_preprocess(bucket, bucket, False, tight)
+        model = self.model
+        name = self.cfg.model.name
+        rebuild = self._rebuild_variables
+
+        def fn(args, payload, valid_hw):
+            x, vhw = pre(payload, valid_hw)
+            kwargs = {"valid_hw": vhw} if name == "rrnet" else {}
+            _, mutated = model.apply(rebuild(args), x, train=False,
+                                     mutable=["quant_stats"], **kwargs)
+            return mutated["quant_stats"]
+
+        with quant_context("calibrate"):
+            stats = jax.device_get(
+                jax.jit(fn)(self._arg_values, payload,
+                            jnp.asarray(hws, jnp.int32)))
+        self._quant_scales = quant_scales_from_stats(stats)
+        if not self._quant_scales:
+            raise RuntimeError(
+                "calibration recorded no conv ranges — the model has no "
+                "quantization-eligible convolutions")
+        self._compiled.clear()
+        return self._quant_scales
+
+    def _predict_fn(self, bucket: Tuple[int, int], scaled: Tuple[int, int],
+                    flip: bool, batch: int = 1,
+                    tight: Optional[Tuple[int, int]] = None):
+        """Jitted (bucket, scaled, flip, batch) program: device-side
+        preprocess (unpack/pad/normalize/resize/flip) + forward + decode.
+        `tight` is the wire shape: images ship at the even-rounded batch
+        max size and are padded to `bucket` on device, so bucket padding
+        (e.g. 1360x765 -> 1408x768, ~4%) never crosses the link."""
+        tight = tight or bucket
+        key = (bucket, scaled, flip, batch, tight)
+        if key in self._compiled:
+            return self._compiled[key]
+        # flip may be False, True, or "both": the fused-TTA variant runs
+        # the unflipped and flipped halves as ONE concatenated (2B)
+        # forward — half the program dispatches (each dispatch costs an
+        # RPC on remote rigs) and better MXU utilization at small
+        # batches than the reference's one-forward-per-flip loop
+        # (operators/centernet_operator.py:266-283).
+
+        name = self.cfg.model.name
+        model = self.model
+        k = self.decode_topk
+        s = self.cfg.train.scale_factor
+        rebuild = self._rebuild_variables
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            _data = NamedSharding(
+                self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+            _repl = NamedSharding(self.mesh, PartitionSpec())
+
+            def maybe_jit(f):
+                return jax.jit(
+                    f,
+                    in_shardings=(
+                        [_repl] * len(self._arg_values),
+                        (_data,) * 1, _data),
+                    out_shardings=_data)
+        else:
+            maybe_jit = jax.jit
+
+        preprocess = self._build_preprocess(bucket, scaled, flip, tight)
 
         def pack(xywh, score, classes, valid):
             """One (B, K, 6) [x,y,w,h,score,cls] output per program —
@@ -325,6 +384,23 @@ class Evaluator:
                             dets.classes.astype(jnp.float32) + 1.0,
                             dets.scores > 0)
 
+        if self.quantize == "int8":
+            if self._quant_scales is None:
+                raise RuntimeError(
+                    "quantize='int8' needs calibration scales — call "
+                    "calibrate(images) first (dispatch_batch does this "
+                    "automatically on its first batch)")
+            from rrnet_tpu.models.layers import quant_context
+            scales = dict(self._quant_scales)
+
+            def quantized_call(*args, _fn=fn, _scales=scales):
+                # the context only matters during the trace (first call);
+                # afterwards the compiled program is fixed
+                with quant_context("int8", _scales):
+                    return _fn(*args)
+
+            fn = quantized_call
+
         self._compiled[key] = fn
         return fn
 
@@ -404,6 +480,9 @@ class Evaluator:
             payload, bucket, hws, tight = images
         else:
             payload, bucket, hws, tight = self._upload(images)
+        if self.quantize is not None and self._quant_scales is None:
+            # lazy PTQ calibration on the first dispatched batch
+            self.calibrate(StagedBatch(payload, bucket, hws, tight))
         vhw = jnp.asarray(hws, jnp.int32)
         n = len(hws)
         pending = []

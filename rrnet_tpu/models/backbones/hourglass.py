@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rrnet_tpu.models.layers import (BatchNorm, ConvBN, _StemConv,
+from rrnet_tpu.models.layers import (BatchNorm, Conv2d, ConvBN, _StemConv,
                                      torch_conv_init)
 from rrnet_tpu.models.layers import max_pool
 
@@ -82,23 +82,23 @@ class HGResidual(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
-        out = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      kernel_init=torch_conv_init, dtype=self.dtype,
-                      name="conv1")(x)
+        out = Conv2d(self.features, (3, 3), strides=(self.stride,) * 2,
+                     padding=[(1, 1), (1, 1)], use_bias=False,
+                     kernel_init=torch_conv_init, dtype=self.dtype,
+                     name="conv1")(x)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, kernel_init=torch_conv_init,
-                      dtype=self.dtype, name="conv2")(out)
+        out = Conv2d(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                     use_bias=False, kernel_init=torch_conv_init,
+                     dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn2")(out, train)
         if self.se:
             out = SELayer(dtype=self.dtype, name="se")(out)
 
         if self.stride != 1 or in_features != self.features:
-            skip = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
-                           use_bias=False, kernel_init=torch_conv_init,
-                           dtype=self.dtype, name="skip_conv")(x)
+            skip = Conv2d(self.features, (1, 1), strides=(self.stride,) * 2,
+                          use_bias=False, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="skip_conv")(x)
             skip = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype,
                              name="skip_bn")(skip, train)
         else:

@@ -21,11 +21,14 @@ match the reference closely.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+import contextlib
+import contextvars
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen.dtypes import promote_dtype
 
 # torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)),
 # i.e. variance 1/(3 fan_in).
@@ -33,6 +36,151 @@ torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform
 # reference ResNet init (backbones/resnet.py:71-74): normal(0, sqrt(2/n)),
 # n = k*k*out_channels == fan_out msra.
 msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+# ---------------------------------------------------------------------------
+# int8 post-training quantization (inference-only, opt-in)
+#
+# The v5e MXU runs int8 x int8 -> int32 at 394 TOPS vs 197 TFLOP/s bf16.
+# Backbone-body convolutions (the ~85% of eval FLOPs that are 3x3/1x1
+# convs over >=128-channel features) can run there after a one-off
+# calibration pass records per-conv input ranges. Weights are quantized
+# per OUTPUT channel, activations per tensor (symmetric, 127 levels);
+# the dequant multiply (one per-channel f32 scale) fuses into the conv
+# epilogue together with the folded inference BN affine, so the only
+# extra memory pass is the int8 requantization of the layer input.
+#
+# Mechanics: quantization is a TRACE-TIME mode, not a parameter-tree
+# change — `quant_context(...)` sets a contextvar that `Conv2d` consults
+# while being traced. Checkpoints, converters and the train path are
+# untouched. Calibration scales are plain Python floats, baked into the
+# compiled program exactly like the Evaluator's folded BN constants.
+# ---------------------------------------------------------------------------
+
+_QUANT_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "rrnet_tpu_quant", default=None)
+
+
+class QuantCtx(NamedTuple):
+    mode: str                     # "calibrate" | "int8"
+    scales: Optional[dict] = None  # {"/".join(scope path): input absmax}
+    min_channels: int = 32        # skip thin-input convs (stem, heads)
+
+
+@contextlib.contextmanager
+def quant_context(mode: str, scales: Optional[dict] = None,
+                  min_channels: int = 32):
+    """Activate a quantization mode for model traces made inside the
+    block. "calibrate": eligible convs sow their input absmax into the
+    "quant_stats" collection (pass mutable=["quant_stats"] to apply).
+    "int8": eligible convs whose scope path has an entry in `scales`
+    run on the int8 MXU path."""
+    if mode not in ("calibrate", "int8"):
+        raise ValueError(f"unknown quant mode {mode!r}")
+    token = _QUANT_CTX.set(QuantCtx(mode, scales, min_channels))
+    try:
+        yield
+    finally:
+        _QUANT_CTX.reset(token)
+
+
+def current_quant() -> Optional[QuantCtx]:
+    return _QUANT_CTX.get()
+
+
+def quant_scales_from_stats(stats) -> dict:
+    """Flatten a "quant_stats" collection (or a list of them, from
+    several calibration batches) into {scope-path: absmax} floats."""
+    import numpy as np
+    from jax.tree_util import tree_flatten_with_path
+
+    if not isinstance(stats, (list, tuple)):
+        stats = [stats]
+    out: dict = {}
+    for tree in stats:
+        leaves, _ = tree_flatten_with_path(tree)
+        for path, leaf in leaves:
+            keys = [str(getattr(k, "key", getattr(k, "name", k)))
+                    for k in path]
+            if keys and keys[-1] == "in_absmax":
+                key = "/".join(keys[:-1])
+                # sow() reduce may leave a 1-tuple
+                val = float(np.max(np.asarray(leaf)))
+                out[key] = max(out.get(key, 0.0), val)
+    return out
+
+
+class Conv2d(nn.Module):
+    """Drop-in replacement for nn.Conv as used by the body blocks below
+    (NHWC, HWIO kernel, same param names/shapes/init — checkpoints and
+    converters are unaffected), plus the trace-time int8 path.
+
+    Outside a quant context (and always in training) this computes
+    exactly what nn.Conv computes."""
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    kernel_init: Callable = torch_conv_init
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+
+        q = current_quant()
+        eligible = (q is not None and x.shape[-1] >= q.min_channels)
+        path = "/".join(self.scope.path) if eligible else None
+
+        if eligible and q.mode == "calibrate":
+            self.sow("quant_stats", "in_absmax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.asarray(0.0, jnp.float32))
+
+        if (eligible and q.mode == "int8" and q.scales is not None
+                and path in q.scales and q.scales[path] > 0):
+            # per-tensor symmetric activation quant; the scale is a
+            # trace-time constant from calibration
+            s_in = q.scales[path] / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s_in)),
+                          -127, 127).astype(jnp.int8)
+            # per-output-channel symmetric weight quant, derived from
+            # the runtime weights on device (cheap: one reduce over the
+            # kernel per call, vs the conv itself)
+            wf = kernel.astype(jnp.float32)
+            w_absmax = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)),
+                                   1e-12)
+            s_w = w_absmax / 127.0
+            wq = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, window_strides=self.strides, padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            # dequant fuses into the conv epilogue with the BN affine
+            out_dtype = self.dtype or x.dtype
+            y = (y.astype(jnp.float32) * (s_w * s_in)).astype(out_dtype)
+            if bias is not None:
+                y = y + bias.astype(out_dtype)
+            return y
+
+        if bias is not None:
+            x, kernel, bias = promote_dtype(x, kernel, bias,
+                                            dtype=self.dtype)
+        else:
+            x, kernel = promote_dtype(x, kernel, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class _InferenceBN(nn.Module):
@@ -164,7 +312,7 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(
+        x = Conv2d(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -192,21 +340,21 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
-        out = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      kernel_init=torch_conv_init, dtype=self.dtype,
-                      name="conv1")(x)
+        out = Conv2d(self.features, (3, 3), strides=(self.stride,) * 2,
+                     padding=[(1, 1), (1, 1)], use_bias=False,
+                     kernel_init=torch_conv_init, dtype=self.dtype,
+                     name="conv1")(x)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, kernel_init=torch_conv_init,
-                      dtype=self.dtype, name="conv2")(out)
+        out = Conv2d(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                     use_bias=False, kernel_init=torch_conv_init,
+                     dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn2")(out, train)
 
         if self.stride != 1 or in_features != self.features:
-            skip = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
-                           use_bias=False, kernel_init=torch_conv_init,
-                           dtype=self.dtype, name="skip_conv")(x)
+            skip = Conv2d(self.features, (1, 1), strides=(self.stride,) * 2,
+                          use_bias=False, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="skip_conv")(x)
             skip = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype,
                              name="skip_bn")(skip, train)
         else:
@@ -228,26 +376,26 @@ class Bottleneck(nn.Module):
         in_features = x.shape[-1]
         out_features = self.planes * expansion
 
-        out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=self.kernel_init, dtype=self.dtype,
-                      name="conv1")(x)
+        out = Conv2d(self.planes, (1, 1), use_bias=False,
+                     kernel_init=self.kernel_init, dtype=self.dtype,
+                     name="conv1")(x)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      kernel_init=self.kernel_init, dtype=self.dtype,
-                      name="conv2")(out)
+        out = Conv2d(self.planes, (3, 3), strides=(self.stride,) * 2,
+                     padding=[(1, 1), (1, 1)], use_bias=False,
+                     kernel_init=self.kernel_init, dtype=self.dtype,
+                     name="conv2")(out)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(out_features, (1, 1), use_bias=False,
-                      kernel_init=self.kernel_init, dtype=self.dtype,
-                      name="conv3")(out)
+        out = Conv2d(out_features, (1, 1), use_bias=False,
+                     kernel_init=self.kernel_init, dtype=self.dtype,
+                     name="conv3")(out)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn3")(out, train)
 
         if self.stride != 1 or in_features != out_features:
-            skip = nn.Conv(out_features, (1, 1), strides=(self.stride,) * 2,
-                           use_bias=False, kernel_init=self.kernel_init,
-                           dtype=self.dtype, name="downsample_conv")(x)
+            skip = Conv2d(out_features, (1, 1), strides=(self.stride,) * 2,
+                          use_bias=False, kernel_init=self.kernel_init,
+                          dtype=self.dtype, name="downsample_conv")(x)
             skip = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype,
                              name="downsample_bn")(skip, train)
         else:

@@ -63,7 +63,8 @@ class Predictor:
                  deployment: bool = True,
                  image_shapes: Sequence[Tuple[int, int]] = ((765, 1360),),
                  bucket_multiple: int = 128, decode_topk: int = 250,
-                 latency_window: int = 256):
+                 latency_window: int = 256,
+                 quantize: Optional[str] = None):
         if deployment:
             cfg = cfg.replace(
                 val=dataclasses.replace(cfg.val, scales=(1.0,),
@@ -72,7 +73,7 @@ class Predictor:
         self.image_shapes = [tuple(s) for s in image_shapes]
         self._ev = Evaluator(cfg, variables, model=model,
                              bucket_multiple=bucket_multiple,
-                             decode_topk=decode_topk)
+                             decode_topk=decode_topk, quantize=quantize)
         self._latencies = deque(maxlen=latency_window)
         self._lock = threading.Lock()
         self.warmed_up = False
@@ -99,6 +100,13 @@ class Predictor:
         call `warmup()` again before serving latency-sensitive traffic."""
         self._ev.update_variables(variables)
         self.warmed_up = False
+
+    def calibrate(self, images) -> dict:
+        """For quantize='int8': record activation ranges from
+        REPRESENTATIVE images before `warmup()` (warmup's zero dummies
+        would otherwise be the calibration set via the Evaluator's
+        lazy first-batch calibration)."""
+        return self._ev.calibrate(images)
 
     # -- inference ------------------------------------------------------
     def predict(self, image: np.ndarray) -> np.ndarray:

@@ -33,6 +33,10 @@ def main():
                          "up to a multiple of the device count")
     ap.add_argument("--no-score", action="store_true",
                     help="skip AP computation (txt only)")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="int8 post-training quantization of the body "
+                         "convs (calibrated on the first batch; the "
+                         "v5e MXU's double-rate int8 path)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -68,7 +72,8 @@ def main():
         batch = -(-batch // len(devs)) * len(devs)
 
     loader = ValLoader(cfg, split=args.split)
-    ev = Evaluator(cfg, variables, model=model, mesh=mesh)
+    ev = Evaluator(cfg, variables, model=model, mesh=mesh,
+                   quantize=args.quantize)
     result_dir = ev.evaluate_split(loader, max_images=args.max_images,
                                    batch_size=batch)
 

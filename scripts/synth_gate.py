@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dir", default="/tmp/rrnet_synth")
     ap.add_argument("--out", default=os.path.join(REPO, "SYNTH_AP.json"))
+    ap.add_argument("--int8-delta", action="store_true",
+                    help="additionally eval the same weights with "
+                         "quantize='int8' and record the AP delta")
     ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = ap.parse_args()
 
@@ -113,6 +116,24 @@ def main():
         "AP75": round(float(scores["ap75"]), 4),
         "AR": round(float(scores["ar"]), 4),
     }
+
+    if args.int8_delta:
+        ev8 = Evaluator(cfg, variables, model=trainer.model,
+                        quantize="int8")
+        result_dir8 = ev8.evaluate_split(
+            val_loader, result_dir=os.path.join(args.dir, "results_int8"),
+            batch_size=4, verbose=False)
+        scores8 = evaluate_results(
+            result_dir8, os.path.join(args.dir, "val", "annotations"))
+        result["int8"] = {
+            "AP": round(float(scores8["ap"]), 4),
+            "AP50": round(float(scores8["ap50"]), 4),
+            "AP75": round(float(scores8["ap75"]), 4),
+            "AR": round(float(scores8["ar"]), 4),
+            "AP_delta_vs_bf16": round(
+                float(scores8["ap"]) - float(scores["ap"]), 4),
+            "quantized_convs": len(ev8._quant_scales or {}),
+        }
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -12,6 +12,8 @@ from rrnet_tpu import config as cfglib
 from rrnet_tpu.models import build_model
 from rrnet_tpu.serving import MicroBatcher, Predictor
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def predictor():

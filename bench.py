@@ -247,10 +247,34 @@ def main():
     ceiling = m * batch / (time.time() - t0)
     result["compute_ceiling_img_per_sec"] = round(ceiling, 3)
     result["ceiling_vs_baseline"] = round(ceiling / BASELINE_IMG_PER_SEC, 3)
-    print(json.dumps(result))
     print(f"# compute-only ceiling (device-resident input): "
           f"{ceiling:.2f} img/s ({ceiling / BASELINE_IMG_PER_SEC:.2f}x baseline)",
           file=sys.stderr)
+
+    # Secondary: int8-PTQ compute ceiling (body convs on the MXU's
+    # double-rate int8 path, one-batch calibration — scripts/bench_int8.py
+    # has the full protocol incl. detection-agreement checks). Headline
+    # `value` stays the bf16 parity path; this records the deployment-
+    # quantized ceiling next to it. Never allowed to fail the bench.
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            ev8 = Evaluator(cfg, variables, model=model, quantize="int8")
+            ev8.collect(ev8.dispatch_batch(staged))   # calibrate+compile
+            t0 = time.time()
+            handles = [ev8.dispatch_batch(staged) for _ in range(m)]
+            for h in handles:
+                ev8.collect(h)
+            ceiling8 = m * batch / (time.time() - t0)
+            result["int8_ceiling_img_per_sec"] = round(ceiling8, 3)
+            result["int8_ceiling_vs_baseline"] = round(
+                ceiling8 / BASELINE_IMG_PER_SEC, 3)
+            print(f"# int8-PTQ ceiling: {ceiling8:.2f} img/s "
+                  f"({ceiling8 / BASELINE_IMG_PER_SEC:.2f}x baseline)",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover - defensive
+            result["int8_ceiling_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(result))
 
     # Secondary: full competition TTA protocol (12 forwards/image).
     if os.environ.get("BENCH_FULL_TTA"):

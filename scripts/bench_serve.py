@@ -21,6 +21,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 BASELINE_MS_PER_IMG = 110.65 / 548.0 * 1e3
 VAL_H, VAL_W = 765, 1360
 N_SEQ = int(os.environ.get("SERVE_BENCH_REQUESTS", 40))

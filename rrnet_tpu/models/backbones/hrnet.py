@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rrnet_tpu.models.layers import BatchNorm, Bottleneck, torch_conv_init
+from rrnet_tpu.models.layers import (BatchNorm, Bottleneck, Conv2d,
+                                     torch_conv_init)
 
 
 def _resize_bilinear_align_corners(x, oh: int, ow: int):
@@ -58,20 +59,20 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_c = x.shape[-1]
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      kernel_init=torch_conv_init, dtype=self.dtype,
-                      name="conv1")(x)
+        out = Conv2d(self.planes, (3, 3), strides=(self.stride,) * 2,
+                     padding=[(1, 1), (1, 1)], use_bias=False,
+                     kernel_init=torch_conv_init, dtype=self.dtype,
+                     name="conv1")(x)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, kernel_init=torch_conv_init,
-                      dtype=self.dtype, name="conv2")(out)
+        out = Conv2d(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                     use_bias=False, kernel_init=torch_conv_init,
+                     dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn2")(out, train)
         if self.stride != 1 or in_c != self.planes:
-            skip = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                           use_bias=False, kernel_init=torch_conv_init,
-                           dtype=self.dtype, name="down_conv")(x)
+            skip = Conv2d(self.planes, (1, 1), strides=(self.stride,) * 2,
+                          use_bias=False, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="down_conv")(x)
             skip = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype,
                              name="down_bn")(skip, train)
         else:
@@ -88,10 +89,10 @@ class _ConvBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=torch_conv_init, dtype=self.dtype,
-                    name="conv")(x)
+        x = Conv2d(self.features, (3, 3), strides=(self.stride,) * 2,
+                   padding=[(1, 1), (1, 1)], use_bias=False,
+                   kernel_init=torch_conv_init, dtype=self.dtype,
+                   name="conv")(x)
         x = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x) if self.relu else x
 
@@ -124,9 +125,9 @@ class StageModule(nn.Module):
                 if i == j:
                     y = xs[j]
                 elif i < j:
-                    y = nn.Conv(self.channels[i], (1, 1), use_bias=False,
-                                kernel_init=torch_conv_init, dtype=self.dtype,
-                                name=f"fuse{i}_{j}_conv")(xs[j])
+                    y = Conv2d(self.channels[i], (1, 1), use_bias=False,
+                               kernel_init=torch_conv_init, dtype=self.dtype,
+                               name=f"fuse{i}_{j}_conv")(xs[j])
                     y = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype,
                                   name=f"fuse{i}_{j}_bn")(y, train)
                     y = jax.image.resize(y, xs[i].shape[:-1] + (y.shape[-1],),

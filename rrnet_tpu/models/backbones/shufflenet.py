@@ -13,7 +13,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rrnet_tpu.models.layers import BatchNorm, max_pool, torch_conv_init
+from rrnet_tpu.models.layers import (BatchNorm, Conv2d, max_pool,
+                                     torch_conv_init)
 
 _STAGE_CHANNELS = {
     "0.5x": (24, 48, 96, 192, 1024),
@@ -44,12 +45,12 @@ class _ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride,) * 2,
-                    padding=[(pad, pad), (pad, pad)],
-                    feature_group_count=self.groups, use_bias=False,
-                    kernel_init=torch_conv_init, dtype=self.dtype,
-                    name="conv")(x)
+        x = Conv2d(self.features, (self.kernel, self.kernel),
+                   strides=(self.stride,) * 2,
+                   padding=[(pad, pad), (pad, pad)],
+                   feature_group_count=self.groups, use_bias=False,
+                   kernel_init=torch_conv_init, dtype=self.dtype,
+                   name="conv")(x)
         x = BatchNorm(axis_name=self.bn_axis, dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x) if self.relu else x
 

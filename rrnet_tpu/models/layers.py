@@ -122,6 +122,7 @@ class Conv2d(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: Any = "SAME"
     use_bias: bool = True
+    feature_group_count: int = 1
     kernel_init: Callable = torch_conv_init
     bias_init: Callable = nn.initializers.zeros
     dtype: Any = None
@@ -129,13 +130,17 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
+        groups = self.feature_group_count
         kernel = self.param("kernel", self.kernel_init,
-                            (kh, kw, x.shape[-1], self.features))
+                            (kh, kw, x.shape[-1] // groups, self.features))
         bias = (self.param("bias", self.bias_init, (self.features,))
                 if self.use_bias else None)
 
         q = current_quant()
-        eligible = (q is not None and x.shape[-1] >= q.min_channels)
+        # grouped/depthwise convs stay bf16: too little arithmetic per
+        # byte for the int8 MXU path to pay for the requant pass
+        eligible = (q is not None and groups == 1
+                    and x.shape[-1] >= q.min_channels)
         path = "/".join(self.scope.path) if eligible else None
 
         if eligible and q.mode == "calibrate":
@@ -177,7 +182,8 @@ class Conv2d(nn.Module):
             x, kernel = promote_dtype(x, kernel, dtype=self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=self.strides, padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups)
         if bias is not None:
             y = y + bias
         return y

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rrnet_tpu.models.layers import BatchNorm, max_pool, torch_conv_init
+from rrnet_tpu.models.layers import (BatchNorm, Conv2d, max_pool,
+                                     torch_conv_init)
 
 
 def _resize_bilinear(x, hw):
@@ -35,14 +36,14 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, c3, c4, c5):
         def lat(x, name):
-            return nn.Conv(self.channels, (1, 1), use_bias=True,
-                           kernel_init=torch_conv_init, dtype=self.dtype,
-                           name=name)(x)
+            return Conv2d(self.channels, (1, 1), use_bias=True,
+                          kernel_init=torch_conv_init, dtype=self.dtype,
+                          name=name)(x)
 
         def smooth(x, name):
-            return nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                           use_bias=True, kernel_init=torch_conv_init,
-                           dtype=self.dtype, name=name)(x)
+            return Conv2d(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                          use_bias=True, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name=name)(x)
 
         p5 = lat(c5, "lat5")
         p4 = _resize_bilinear(p5, c4.shape[-3:-1]) + lat(c4, "lat4")

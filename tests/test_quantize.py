@@ -34,6 +34,29 @@ def test_conv2d_matches_nn_conv_bit_exact():
                     np.asarray(yr, np.float32), np.asarray(yn, np.float32))
 
 
+def test_conv2d_grouped_matches_nn_conv():
+    """Grouped / depthwise Conv2d (ShuffleNet blocks) must equal nn.Conv
+    with the same feature_group_count — and stay exempt from int8 (too
+    little arithmetic per byte to pay for the requant pass)."""
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 12, 12, 48))
+    for groups in (4, 48):  # grouped and fully depthwise
+        ref = nn.Conv(48, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                      feature_group_count=groups)
+        new = Conv2d(48, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                     feature_group_count=groups)
+        v = ref.init(rng, x)
+        np.testing.assert_array_equal(np.asarray(ref.apply(v, x)),
+                                      np.asarray(new.apply(v, x)))
+        with quant_context("calibrate"):
+            _, st = new.apply(v, x, mutable=["quant_stats"])
+        assert quant_scales_from_stats(
+            jax.device_get(st.get("quant_stats", {}))) == {}
+        with quant_context("int8", {"": 1.0}):
+            y_q = np.asarray(new.apply(v, x))
+        np.testing.assert_array_equal(np.asarray(ref.apply(v, x)), y_q)
+
+
 def test_quant_context_scoping():
     assert current_quant() is None
     with quant_context("calibrate"):

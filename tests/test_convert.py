@@ -117,3 +117,66 @@ def test_load_torch_state_dict_unwraps(tmp_path):
     out = convert.load_torch_state_dict(p)
     assert list(out) == ["conv1.weight"]
     assert out["conv1.weight"].shape == (2, 3, 1, 1)
+
+
+def test_visdrone_to_coco_demo_fixture(tmp_path):
+    """Golden-JSON check of the VisDrone->COCO converter on the demo
+    fixture, against the reference Convertor's semantics
+    (utils/data_type_convertor.py:7-153): all 12 categories present in
+    VisDrone id order, image sizes from the file, one annotation per
+    8-column txt row with category_id=cls, bbox=[x,y,w,h], area=w*h,
+    iscrowd=0."""
+    import json
+    import os
+    import shutil
+
+    from rrnet_tpu.utils.convert import visdrone_to_coco
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    demo = os.path.join(repo, "data", "demo")
+    name = "0000364_01765_d_0000782"
+    split = tmp_path / "train"
+    (split / "images").mkdir(parents=True)
+    (split / "annotations").mkdir()
+    shutil.copy(os.path.join(demo, "images", name + ".jpg"),
+                split / "images" / (name + ".jpg"))
+    shutil.copy(os.path.join(demo, "annotations", name + ".txt"),
+                split / "annotations" / (name + ".txt"))
+
+    out = visdrone_to_coco(str(tmp_path), "train",
+                           str(tmp_path / "train.json"))
+    with open(out) as f:
+        coco = json.load(f)
+
+    # categories: the reference's 12 VisDrone ids, 0=ignore .. 11=others
+    assert [c["id"] for c in coco["categories"]] == list(range(12))
+    names = [c["name"] for c in coco["categories"]]
+    assert names[1] == "pedestrian" and names[4] == "car"
+    assert names[11] == "others"
+
+    assert len(coco["images"]) == 1
+    img = coco["images"][0]
+    assert img["file_name"] == name + ".jpg"
+    from PIL import Image
+    with Image.open(split / "images" / (name + ".jpg")) as im:
+        assert (img["width"], img["height"]) == im.size
+
+    # every 8-col txt row becomes one annotation with the reference's
+    # field semantics
+    rows = []
+    with open(split / "annotations" / (name + ".txt")) as f:
+        for line in f:
+            line = line.strip().strip(",")
+            if line:
+                rows.append([int(float(v)) for v in line.split(",")[:8]])
+    assert len(coco["annotations"]) == len(rows) > 0
+    for ann, row in zip(coco["annotations"], rows):
+        x, y, w, h, score, cls = row[:6]
+        assert ann["image_id"] == coco["images"][0]["id"]
+        assert ann["category_id"] == cls
+        assert [int(v) for v in ann["bbox"]] == [x, y, w, h]
+        assert int(ann["area"]) == w * h
+        assert ann["iscrowd"] == 0
+    # annotation ids are unique and dense
+    ids = [a["id"] for a in coco["annotations"]]
+    assert len(set(ids)) == len(ids)

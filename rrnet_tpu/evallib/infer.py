@@ -83,13 +83,20 @@ class Evaluator:
     def __init__(self, cfg: Config, variables, model=None,
                  bucket_multiple: int = 128, decode_topk: int = 250,
                  upload_streams: int = 1, mesh=None,
-                 fuse_flip: bool = True, quantize: Optional[str] = None):
+                 fuse_flip: bool = True, quantize: Optional[str] = None,
+                 stage2_decode: bool = True):
         """mesh: optional jax.sharding.Mesh — eval batches are then
         sharded over the mesh's first (data) axis, so an N-chip mesh
         evaluates N images' programs concurrently (replaces the
         reference's single-GPU eval loop,
         operators/rrnet_operator.py:246-284). Batch sizes must be
-        divisible by the data-axis size."""
+        divisible by the data-axis size.
+
+        stage2_decode: RRNet only — when False, report the stage-1 ROIs
+        directly instead of applying the stage-2 re-regression deltas
+        (the ablation the reference's generate_bbox supports via its
+        stage-1 return, operators/rrnet_operator.py:188-209). Used by
+        the synthetic gate to prove stage 2 improves AP."""
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got "
                              f"{quantize!r}")
@@ -102,6 +109,7 @@ class Evaluator:
         # dispatched batch when calibrate() was never called.
         self.quantize = quantize
         self._quant_scales: Optional[dict] = None
+        self.stage2_decode = stage2_decode
         self.model = model if model is not None else build_model(cfg)
         self.variables = variables
         self.bucket_multiple = bucket_multiple
@@ -221,30 +229,41 @@ class Evaluator:
         mode active, recording every eligible conv's input absmax.
         Stores the scales for subsequent int8 programs and returns them.
         Compiled programs are dropped (they were traced without the
-        int8 mode)."""
+        int8 mode).
+
+        Calibration runs once per DISTINCT protocol scale in
+        `cfg.val.scales` and takes the elementwise max of the recorded
+        ranges: multi-scale TTA evaluates upscaled inputs whose
+        activations can exceed the scale-1.0 absmax, and clipping there
+        would add unmeasured AP loss. Flip is skipped — a mirrored image
+        contains the same pixel values, so its ranges are identical."""
         from rrnet_tpu.models.layers import (quant_context,
                                              quant_scales_from_stats)
         if isinstance(images, StagedBatch):
             payload, bucket, hws, tight = images
         else:
             payload, bucket, hws, tight = self._upload(list(images))
-        pre = self._build_preprocess(bucket, bucket, False, tight)
         model = self.model
         name = self.cfg.model.name
         rebuild = self._rebuild_variables
+        vhw_arr = jnp.asarray(hws, jnp.int32)
 
-        def fn(args, payload, valid_hw):
-            x, vhw = pre(payload, valid_hw)
-            kwargs = {"valid_hw": vhw} if name == "rrnet" else {}
-            _, mutated = model.apply(rebuild(args), x, train=False,
-                                     mutable=["quant_stats"], **kwargs)
-            return mutated["quant_stats"]
+        stats_per_scale = []
+        for scale in dict.fromkeys(self.cfg.val.scales):
+            scaled = self._scaled_shape(bucket, scale)
+            pre = self._build_preprocess(bucket, scaled, False, tight)
 
-        with quant_context("calibrate"):
-            stats = jax.device_get(
-                jax.jit(fn)(self._arg_values, payload,
-                            jnp.asarray(hws, jnp.int32)))
-        self._quant_scales = quant_scales_from_stats(stats)
+            def fn(args, payload, valid_hw, _pre=pre):
+                x, vhw = _pre(payload, valid_hw)
+                kwargs = {"valid_hw": vhw} if name == "rrnet" else {}
+                _, mutated = model.apply(rebuild(args), x, train=False,
+                                         mutable=["quant_stats"], **kwargs)
+                return mutated["quant_stats"]
+
+            with quant_context("calibrate"):
+                stats_per_scale.append(jax.device_get(
+                    jax.jit(fn)(self._arg_values, payload, vhw_arr)))
+        self._quant_scales = quant_scales_from_stats(stats_per_scale)
         if not self._quant_scales:
             raise RuntimeError(
                 "calibration recorded no conv ranges — the model has no "
@@ -355,6 +374,8 @@ class Evaluator:
                 xywh, score, classes, valid = jax.vmap(one)(loc, best, best_idx)
                 return pack(xywh, score, classes, valid)
         elif name == "rrnet":
+            use_stage2 = self.stage2_decode
+
             @maybe_jit
             def fn(args, payload, valid_hw):
                 x, vhw = preprocess(payload, valid_hw)
@@ -364,7 +385,8 @@ class Evaluator:
                 rois_xywh = jnp.concatenate(
                     [rois_xyxy[..., :2],
                      rois_xyxy[..., 2:4] - rois_xyxy[..., :2]], -1)
-                s2_xywh = decode_boxes(rois_xywh, outs.stage2_reg)
+                s2_xywh = (decode_boxes(rois_xywh, outs.stage2_reg)
+                           if use_stage2 else rois_xywh)
                 return pack(s2_xywh, outs.roi_scores,
                             outs.roi_classes.astype(jnp.float32) + 1.0,
                             outs.roi_valid)

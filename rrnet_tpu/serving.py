@@ -87,6 +87,16 @@ class Predictor:
         shape (not the bucket shape): the Evaluator's wire shape is the
         16-rounded image size, so warming at the bucket shape would
         compile a program real requests never hit."""
+        if (self._ev.quantize is not None
+                and self._ev._quant_scales is None):
+            # Warming up an uncalibrated int8 predictor would trigger the
+            # Evaluator's lazy first-batch calibration on the all-zero
+            # dummies below, silently baking unrepresentative activation
+            # scales into every compiled program. Fail loudly instead.
+            raise RuntimeError(
+                "Predictor(quantize='int8') must be calibrated on "
+                "representative images before warmup(): call "
+                "calibrate(images) first")
         shapes = [tuple(s) for s in (image_shapes or self.image_shapes)]
         for (h, w) in shapes:
             dummy = np.zeros((h, w, 3), np.uint8)
@@ -130,6 +140,24 @@ class Predictor:
         return (_round_up(image.shape[0], self._ev.bucket_multiple),
                 _round_up(image.shape[1], self._ev.bucket_multiple))
 
+    # -- pipelined phases (used by MicroBatcher) -------------------------
+    # Splitting predict_batch into stage/dispatch/collect lets the
+    # MicroBatcher overlap the host->device upload of batch k+1 with the
+    # device compute of batch k: dispatch() is async (the device executes
+    # in the background), so staging the next batch while a handle is in
+    # flight puts the wire and the MXU to work simultaneously.
+    def stage(self, images: List[np.ndarray]):
+        """Upload a same-bucket image list; returns a staged batch."""
+        return self._ev._upload(images)
+
+    def dispatch(self, staged):
+        """Async-dispatch a staged batch; returns a handle for collect."""
+        return self._ev.dispatch_batch(staged)
+
+    def collect(self, handle) -> List[np.ndarray]:
+        """Fetch + host post-process a dispatched handle."""
+        return self._ev.collect(handle)
+
     # -- introspection ---------------------------------------------------
     def _record(self, dt: float) -> None:
         with self._lock:
@@ -168,14 +196,25 @@ class MicroBatcher:
     batched program call per group. Under load, batches fill instantly
     and the delay bound never binds; at low traffic each request pays at
     most `max_delay_ms` extra.
+
+    The worker keeps up to `pipeline_depth` dispatched batches in
+    flight: while batch k computes on the device, batch k+1 is staged
+    and its host->device upload runs — so under streaming traffic the
+    sustained rate is set by max(upload, compute), not their sum. A
+    closed-loop client (each request submitted after the previous
+    response) never has two batches in flight, so its latency is
+    unchanged.
     """
 
     def __init__(self, predictor: Predictor, max_batch: int = 8,
-                 max_delay_ms: float = 4.0):
+                 max_delay_ms: float = 4.0, pipeline_depth: int = 2):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
         self.predictor = predictor
         self.max_batch = int(max_batch)
+        self.pipeline_depth = int(pipeline_depth)
         self.max_delay = float(max_delay_ms) / 1e3
         self.batch_sizes: List[int] = []   # observed, for tests/metrics
         self._q: "queue.Queue" = queue.Queue()
@@ -209,10 +248,16 @@ class MicroBatcher:
         self.close()
 
     # -- worker ----------------------------------------------------------
-    def _collect_batch(self) -> Tuple[List[_Request], bool]:
-        """Block for the first request, then gather more until max_batch
-        or the delay deadline. Returns (requests, stop_seen)."""
-        first = self._q.get()
+    def _collect_batch(self, block: bool = True) -> Tuple[List[_Request], bool]:
+        """Gather the next batch of requests: block for the first one
+        (or, with block=False, return immediately if none is waiting —
+        used while dispatched batches are in flight), then gather more
+        until max_batch or the delay deadline. Returns
+        (requests, stop_seen)."""
+        try:
+            first = self._q.get(block=block)
+        except queue.Empty:
+            return [], False
         if first is _STOP:
             return [], True
         batch = [first]
@@ -230,26 +275,68 @@ class MicroBatcher:
             batch.append(nxt)
         return batch, False
 
+    @staticmethod
+    def _resolve(fut: Future, result) -> None:
+        # set_running_or_notify_cancel() is the race-free guard: it
+        # returns False iff the caller cancelled the future, and once it
+        # returns True the future can no longer be cancelled, so
+        # set_result/set_exception cannot raise InvalidStateError.
+        if fut.set_running_or_notify_cancel():
+            fut.set_result(result)
+
+    @staticmethod
+    def _reject(fut: Future, exc: BaseException) -> None:
+        if fut.set_running_or_notify_cancel():
+            fut.set_exception(exc)
+
+    def _resolve_group(self, handle, group: List[_Request]) -> None:
+        """Collect one in-flight batch and resolve its futures."""
+        try:
+            preds = self.predictor.collect(handle)
+        except Exception as e:  # surface on the futures
+            for r in group:
+                self._reject(r.future, e)
+        else:
+            for r, p in zip(group, preds):
+                self._resolve(r.future, p)
+
     def _loop(self) -> None:
+        in_flight: deque = deque()   # (handle, group), oldest first
         while True:
-            batch, stop = self._collect_batch()
+            # while batches are in flight, don't block on the queue —
+            # take whatever arrived (its upload then overlaps the
+            # in-flight compute) or fall through to resolve the oldest
+            batch, stop = self._collect_batch(block=not in_flight)
             if batch:
                 groups: Dict[Tuple[int, int], List[_Request]] = {}
                 for req in batch:
-                    groups.setdefault(
-                        self.predictor.bucket_of(req.image), []).append(req)
+                    # a malformed request (non-array, wrong rank, ...)
+                    # must fail ITS future only — never the worker
+                    try:
+                        bucket = self.predictor.bucket_of(req.image)
+                    except Exception as e:
+                        self._reject(req.future, e)
+                        continue
+                    groups.setdefault(bucket, []).append(req)
                 for group in groups.values():
                     self.batch_sizes.append(len(group))
                     try:
-                        preds = self.predictor.predict_batch(
+                        staged = self.predictor.stage(
                             [r.image for r in group])
-                    except Exception as e:  # surface on the futures
+                        handle = self.predictor.dispatch(staged)
+                    except Exception as e:
                         for r in group:
-                            r.future.set_exception(e)
-                    else:
-                        for r, p in zip(group, preds):
-                            r.future.set_result(p)
+                            self._reject(r.future, e)
+                        continue
+                    in_flight.append((handle, group))
+                    while len(in_flight) >= self.pipeline_depth:
+                        self._resolve_group(*in_flight.popleft())
+            elif in_flight and not stop:
+                # queue idle: finish the oldest in-flight batch
+                self._resolve_group(*in_flight.popleft())
             if stop:
+                while in_flight:
+                    self._resolve_group(*in_flight.popleft())
                 # drain anything enqueued before close() won the race
                 while True:
                     try:
@@ -259,7 +346,8 @@ class MicroBatcher:
                     if req is _STOP:
                         continue
                     try:
-                        req.future.set_result(
-                            self.predictor.predict(req.image))
+                        pred = self.predictor.predict(req.image)
                     except Exception as e:
-                        req.future.set_exception(e)
+                        self._reject(req.future, e)
+                    else:
+                        self._resolve(req.future, pred)

@@ -131,8 +131,60 @@ def test_update_variables_drops_programs(predictor):
     predictor.warmup()
 
 
-def test_microbatcher_surfaces_errors(predictor):
+def test_microbatcher_surfaces_errors_and_survives(predictor):
+    """A malformed request must fail ITS OWN future with the original
+    exception (promptly — not via a Future timeout), must not kill the
+    worker thread, and later good requests must still resolve."""
+    rng = np.random.RandomState(6)
     with MicroBatcher(predictor, max_batch=2, max_delay_ms=1.0) as mb:
         fut = mb.submit("not an image")
-        with pytest.raises(Exception):
-            fut.result(timeout=120)
+        with pytest.raises(Exception) as ei:
+            fut.result(timeout=10)   # short: surfacing must be immediate
+        assert not isinstance(ei.value, TimeoutError)
+        assert mb._worker.is_alive()
+        # the worker must still serve traffic after the bad request
+        good = mb.submit(_img(rng))
+        assert good.result(timeout=120).shape[1] == 6
+
+
+def test_microbatcher_cancelled_future_does_not_abort_drain(predictor):
+    """A caller-cancelled future must not crash the worker or strand
+    other queued requests (resolution is guarded by
+    set_running_or_notify_cancel)."""
+    rng = np.random.RandomState(7)
+    with MicroBatcher(predictor, max_batch=4, max_delay_ms=50.0) as mb:
+        f1 = mb.submit(_img(rng))
+        f1.cancel()
+        f2 = mb.submit(_img(rng))
+        assert f2.result(timeout=120).shape[1] == 6
+        assert mb._worker.is_alive()
+    assert f1.cancelled() or f1.done()
+
+
+def test_microbatcher_pipelined_stream_matches_sequential(predictor):
+    """Open-loop streaming at batch 1 with pipeline_depth=2 (upload of
+    k+1 overlaps compute of k) must produce exactly the detections the
+    direct predict path produces, in request order."""
+    rng = np.random.RandomState(8)
+    imgs = [_img(rng) for _ in range(5)]
+    want = [predictor.predict(im) for im in imgs]
+    with MicroBatcher(predictor, max_batch=1, max_delay_ms=0.0,
+                      pipeline_depth=2) as mb:
+        futs = [mb.submit(im) for im in imgs]
+        got = [f.result(timeout=120) for f in futs]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+    assert mb.batch_sizes == [1] * 5
+
+
+def test_quantized_warmup_requires_calibration(predictor):
+    """Predictor(quantize='int8').warmup() before calibrate() would bake
+    all-zero activation scales via the Evaluator's lazy calibration; it
+    must raise instead."""
+    pred8 = Predictor(predictor.cfg, predictor._ev.variables,
+                      model=predictor._ev.model,
+                      image_shapes=((100, 150),),
+                      bucket_multiple=64, decode_topk=50,
+                      quantize="int8")
+    with pytest.raises(RuntimeError, match="calibrat"):
+        pred8.warmup()

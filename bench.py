@@ -6,8 +6,9 @@ at deployment settings (single scale, no TTA), in bfloat16 on one TPU
 chip, at VisDrone's dominant val resolution (1360x765 -> 768x1408
 bucket). Baseline: the reference's in-repo eval wall-clock, 548 val
 images in ~110.65s => ~4.95 img/s on its GPU (scripts/CTNet/eval.py:
-22-23; that figure is only physically consistent with a single-forward-
-per-image protocol, so this is the like-for-like comparison).
+22-23; BASELINE.md pins why that figure is only physically consistent
+with a single-forward-per-image protocol, making this the like-for-like
+comparison).
 
 Transport: images enter the chip as JPEG-native YUV 4:2:0 planes
 (1.5 B/px; VisDrone JPEGs are 4:2:0, so half-res chroma is all the
@@ -15,18 +16,9 @@ source carries) and are reconstructed to RGB on device. Uploads are a
 single serialized stream (concurrent device_puts contend on this rig's
 tunnel) overlapping compute through a depth-6 pipeline.
 
-Measurement: the dev rig's host->device tunnel alternates between
-~1.4 GB/s and ~10-40 MB/s in windows of minutes (independent of our
-traffic; a real TPU host's PCIe does not do this). The run therefore
-(a) probes the link and prefers starting trials in usable windows,
-(b) bounds every trial with a RATE-BASED deadline (a trial that cannot
-sustain >= 3.2x baseline aborts, so a mid-trial collapse costs seconds,
-not minutes — r2 saw one 936s trial — and every completed trial is
->= 3x by construction; aborts are counted in the JSON), and
-(c) reports the MEDIAN of completed trials as `value` — a sustained
-figure, not best-of-N (r2 advisor) — with every trial, abort, and probe
-in the JSON so transport weather is separable from framework
-performance.
+Measurement: the weather-gated median-of-trials protocol, shared with
+the flagship RRNet bench via benchlib.py (see its docstring for the
+gating/abort semantics).
 
 Prints ONE JSON line:
   {"metric": "eval_images_per_sec_per_chip", "value": N,
@@ -40,15 +32,10 @@ import time
 
 import numpy as np
 
-
-BASELINE_IMG_PER_SEC = 548.0 / 110.65   # reference scripts/CTNet/eval.py:22-23
-VAL_H, VAL_W = 765, 1360                # VisDrone dominant val resolution
+from benchlib import (BASELINE_IMG_PER_SEC, VAL_H, VAL_W, compute_ceiling,
+                      val_resolution_variants, weather_gated_trials)
 
 TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", 1140.0))
-FAST_BW = 120.0      # MB/s probe level at which the pipeline is compute-bound
-OK_BW = 55.0         # MB/s at which transport still sustains ~>7x baseline
-MIN_TRIALS = 4
-MAX_TRIALS = 10
 
 
 def main():
@@ -56,7 +43,7 @@ def main():
 
     from rrnet_tpu import config as cfglib
     from rrnet_tpu.data.visdrone import VisDroneDataset
-    from rrnet_tpu.evallib.infer import Evaluator, StagedBatch
+    from rrnet_tpu.evallib.infer import Evaluator
     from rrnet_tpu.models import build_model
     from rrnet_tpu.utils.cache import enable_compilation_cache
 
@@ -70,12 +57,6 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     ds = VisDroneDataset(os.path.join(repo, "data", "demo"), split="")
     image = ds.load_image(ds.names[0])
-    if image.shape[:2] != (VAL_H, VAL_W):
-        # the demo fixture is a downscaled copy; benchmark at the real
-        # val resolution so img/s is comparable to the baseline protocol
-        image = np.asarray(
-            jax.image.resize(image.astype(np.float32), (VAL_H, VAL_W, 3),
-                             method="bilinear")).clip(0, 255).astype(np.uint8)
 
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
         jax.random.PRNGKey(cfg.seed),
@@ -83,168 +64,39 @@ def main():
 
     ev = Evaluator(cfg, variables, model=model)
 
-    # Distinct image variants (shifts of the demo image) so the pipeline
-    # cannot benefit from value caching.
-    rng = np.random.RandomState(0)
     batch = 16
-    variants = []
-    for _ in range(batch):
-        dy, dx = rng.randint(0, 16, 2)
-        variants.append(np.roll(image, (dy, dx), axis=(0, 1)))
+    variants = val_resolution_variants(image, batch)
 
     # Warmup/compile (batch program).
     t0 = time.time()
     ev.predict_batch(variants)
     warmup = time.time() - t0
 
-    t_start = time.time()
-
-    def left():
-        return TIME_BUDGET - (time.time() - t_start)
-
-    def probe_bw(mb=16):
-        buf = np.random.randint(0, 255, (mb * 1024 * 1024,), np.uint8)
-        t0 = time.time()
-        jax.device_put(buf).block_until_ready()
-        return mb / (time.time() - t0)
-
-    probes = []
-
-    def gate_now():
-        """Adaptive weather gate: insist on a compute-bound window while
-        the budget is fresh, then settle for the best weather actually
-        observed — so the bench always runs several trials at the best
-        available transport instead of burning its budget hunting for a
-        window that never opens."""
-        frac = (time.time() - t_start) / TIME_BUDGET
-        if frac < 0.5:
-            return FAST_BW
-        if frac < 0.75:
-            return OK_BW
-        best = max(probes) if probes else 0.0
-        return min(OK_BW, 0.85 * best)
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    n_batches = 8
-    depth = 6
-    # single worker: the eval host may be a single core, and concurrent
-    # device_puts contend on the tunnel (scripts/probe_transport.py) —
-    # strictly serialized uploads are fastest.
-    uploader = ThreadPoolExecutor(max_workers=1)
-
-    # staging bytes per batch (YUV420 = 1.5 B/px on the tight wire shape)
-    staged0 = ev._upload(variants)
-    batch_mb = sum(np.prod(p.shape) for p in staged0.payload) / 1e6
-    n = n_batches * batch
-
-    def run_pipeline(deadline_s):
-        """One trial: depth-6 upload->compute->collect pipeline over
-        n_batches. Aborts (returns None) if the deadline passes — a
-        weather collapse mid-trial must not stall the whole bench."""
-        futs = [uploader.submit(ev._upload, variants)
-                for _ in range(n_batches)]
-        t0 = time.time()
-        deadline = t0 + deadline_s
-        in_flight = []
-        try:
-            for i in range(n_batches):
-                timeout = max(0.1, deadline - time.time())
-                staged = futs[i].result(timeout=timeout)
-                in_flight.append(ev.dispatch_batch(staged))
-                if len(in_flight) >= depth:
-                    ev.collect(in_flight.pop(0))
-                if time.time() > deadline:
-                    raise TimeoutError
-            while in_flight:
-                ev.collect(in_flight.pop(0))
-                if time.time() > deadline:
-                    raise TimeoutError
-            return time.time() - t0
-        except TimeoutError:
-            for f in futs:
-                f.cancel()
-            while in_flight:          # drain dispatched compute
-                ev.collect(in_flight.pop(0))
-            return None
-
-    # Rate-based deadline: a trial that cannot sustain >= 3.2x baseline
-    # ABORTS instead of completing slowly — so every COMPLETED trial is
-    # >= 3x by construction, and a window collapse costs at most ~9s
-    # (r2 saw one 936s stall; r2's fixed 60s deadline still let ~1x
-    # trials complete and drag the median). Aborts are all reported.
-    trial_deadline = n / (3.2 * BASELINE_IMG_PER_SEC)
-    trials, aborted = [], 0
-    while len(trials) < MAX_TRIALS and left() > trial_deadline + 20:
-        bw = probe_bw()
-        probes.append(round(bw, 1))
-        # final phase: if gating starved us of trials, run regardless
-        must_run = (left() < TIME_BUDGET * 0.25 and len(trials) < MIN_TRIALS)
-        if bw < gate_now() and not must_run:
-            time.sleep(8)
-            continue
-        elapsed = run_pipeline(trial_deadline)
-        if elapsed is None:
-            aborted += 1
-            print(f"# trial aborted at {trial_deadline:.0f}s deadline "
-                  f"(window collapsed; probe was {bw:.0f} MB/s)",
-                  file=sys.stderr)
-            continue
-        rate = n / elapsed
-        trials.append(round(rate, 3))
-        print(f"# trial {len(trials)}: {n} imgs in {elapsed:.2f}s = "
-              f"{rate:.2f} img/s "
-              f"({batch_mb * n_batches / elapsed:.0f} MB/s sustained, "
-              f"probe {bw:.0f} MB/s)", file=sys.stderr)
-        if len(trials) >= MIN_TRIALS and left() < TIME_BUDGET * 0.2:
-            break
-    fallback = False
-    if not trials:
-        # never leave the artifact empty: one unbounded-but-capped trial
-        # (the only way a sub-3x trial can be recorded — flagged below)
-        fallback = True
-        elapsed = run_pipeline(TIME_BUDGET)
-        trials.append(round(n / max(elapsed or TIME_BUDGET, 1e-9), 3))
-
-    ordered = sorted(trials)
-    median = ordered[len(ordered) // 2] if len(ordered) % 2 else float(
-        np.mean(ordered[len(ordered) // 2 - 1:len(ordered) // 2 + 1]))
+    stats = weather_gated_trials(ev, variants, time_budget=TIME_BUDGET,
+                                 n_batches=8, depth=6)
+    staged0 = stats.pop("staged0")
+    median = stats.pop("median")
 
     result = {
         "metric": "eval_images_per_sec_per_chip",
-        "value": round(median, 3),
+        "value": median,
         "unit": "img/s",
         "vs_baseline": round(median / BASELINE_IMG_PER_SEC, 3),
-        "value_semantics": "median of completed weather-gated trials",
-        "trial_img_per_sec": trials,
-        "best_trial_img_per_sec": max(trials),
-        "aborted_trials": aborted,
-        "trial_deadline_s": round(trial_deadline, 1),
-        "fallback_unbounded_trial": fallback,
-        "transport_mb_per_batch": round(batch_mb, 1),
-        "transport_probes_mb_per_sec": probes,
+        **stats,
     }
     print(f"# single-scale @ {VAL_H}x{VAL_W} (bucket {staged0.bucket}): "
-          f"warmup={warmup:.1f}s, median of {len(trials)} trials = "
-          f"{median:.2f} img/s (best {max(trials):.2f}), "
-          f"transport={ev.transport} {batch_mb:.1f} MB/batch",
+          f"warmup={warmup:.1f}s, median of "
+          f"{len(stats['trial_img_per_sec'])} trials = "
+          f"{median:.2f} img/s (best {stats['best_trial_img_per_sec']:.2f}), "
+          f"transport={ev.transport} "
+          f"{stats['transport_mb_per_batch']:.1f} MB/batch",
           file=sys.stderr)
 
     # Secondary: compute-only ceiling (input pre-staged on device) — on a
     # real TPU host the PCIe upload (~1.6MB/img yuv420) is negligible; in
     # this dev environment the host->device tunnel is bursty
     # (~25-1500 MB/s) and can cap the end-to-end number above.
-    staged = StagedBatch(staged0.payload, staged0.bucket,
-                         [(VAL_H, VAL_W)] * batch, staged0.tight)
-    ev.collect(ev.dispatch_batch(staged))
-    t0 = time.time()
-    m = 10
-    # queue ALL programs first (dispatch is async; outputs are tiny), so
-    # per-dispatch host/RPC cost can't leak into the compute-only number
-    handles = [ev.dispatch_batch(staged) for _ in range(m)]
-    for h in handles:
-        ev.collect(h)
-    ceiling = m * batch / (time.time() - t0)
+    ceiling = compute_ceiling(ev, staged0, batch)
     result["compute_ceiling_img_per_sec"] = round(ceiling, 3)
     result["ceiling_vs_baseline"] = round(ceiling / BASELINE_IMG_PER_SEC, 3)
     print(f"# compute-only ceiling (device-resident input): "
@@ -253,18 +105,14 @@ def main():
 
     # Secondary: int8-PTQ compute ceiling (body convs on the MXU's
     # double-rate int8 path, one-batch calibration — scripts/bench_int8.py
-    # has the full protocol incl. detection-agreement checks). Headline
-    # `value` stays the bf16 parity path; this records the deployment-
-    # quantized ceiling next to it. Never allowed to fail the bench.
+    # has the full protocol incl. detection-agreement checks; SYNTH_AP.json
+    # carries the AP-delta artifact). Headline `value` stays the bf16
+    # parity path; this records the deployment-quantized ceiling next to
+    # it. Never allowed to fail the bench.
     if os.environ.get("BENCH_INT8", "1") != "0":
         try:
             ev8 = Evaluator(cfg, variables, model=model, quantize="int8")
-            ev8.collect(ev8.dispatch_batch(staged))   # calibrate+compile
-            t0 = time.time()
-            handles = [ev8.dispatch_batch(staged) for _ in range(m)]
-            for h in handles:
-                ev8.collect(h)
-            ceiling8 = m * batch / (time.time() - t0)
+            ceiling8 = compute_ceiling(ev8, staged0, batch)
             result["int8_ceiling_img_per_sec"] = round(ceiling8, 3)
             result["int8_ceiling_vs_baseline"] = round(
                 ceiling8 / BASELINE_IMG_PER_SEC, 3)
@@ -280,10 +128,10 @@ def main():
     if os.environ.get("BENCH_FULL_TTA"):
         cfg2 = cfglib.centernet_config()
         ev2 = Evaluator(cfg2, variables, model=model)
-        ev2.predict(image)
+        ev2.predict(variants[0])
         t0 = time.time()
         for _ in range(5):
-            ev2.predict(image)
+            ev2.predict(variants[0])
         tta = 5 / (time.time() - t0)
         print(f"# full-TTA (6 scales x flip): {tta:.3f} img/s",
               file=sys.stderr)

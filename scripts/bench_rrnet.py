@@ -4,18 +4,18 @@ The headline bench (bench.py) records CenterNet; this records the
 flagship RRNet path — stage-1 decode + per-class stage-1 NMS in the
 device loop + static-budget ROI-align + stage-2 re-regression
 (models/rrnet.py; reference models/rrnet.py:25-54) — at the same
-protocol: single scale, bf16, VisDrone val resolution 765x1360
-(768x1408 bucket), one TPU chip. Writes RRNET_BENCH.json (r2 verdict:
-the flagship path had no recorded eval throughput artifact).
+protocol AND the same measurement harness: single scale, bf16, VisDrone
+val resolution 765x1360 (768x1408 bucket), one TPU chip, end-to-end
+throughput as the MEDIAN of weather-gated pipelined trials
+(benchlib.weather_gated_trials — protocol-identical to bench.py by
+construction). Writes RRNET_BENCH.json.
 
 Both stage-1 NMS variants are measured: hard NMS (the preset default,
-configs/rrnet_config.py:82 'nms') and Pallas soft-NMS
-(nms_type_for_stage1='soft_nms', the ext/cpu_soft_nms replacement).
-
-Reports the compute-only ceiling (device-resident input; the number a
-real TPU host's PCIe sustains) and a short end-to-end pipelined run at
-whatever transport weather the rig offers (informational — bench.py
-owns the weather-gated end-to-end protocol).
+configs/rrnet_config.py:82 'nms') carries the weather-gated end-to-end
+median; Pallas soft-NMS (nms_type_for_stage1='soft_nms', the
+ext/cpu_soft_nms replacement) records its compute ceiling — its value
+is staying in-graph, but hard NMS is both the reference default and the
+faster stage-1 (NMS_BENCH.json), so it is the deployment setting.
 
 Usage: python scripts/bench_rrnet.py [--out RRNET_BENCH.json]
 """
@@ -33,24 +33,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BASELINE_IMG_PER_SEC = 548.0 / 110.65   # reference scripts/CTNet/eval.py:22-23
-VAL_H, VAL_W = 765, 1360
+from benchlib import (BASELINE_IMG_PER_SEC, VAL_H, VAL_W,  # noqa: E402
+                      compute_ceiling, val_resolution_variants,
+                      weather_gated_trials)
 
-
-def ceiling_img_per_sec(ev, staged, batch, m=10):
-    from rrnet_tpu.evallib.infer import StagedBatch
-    staged = StagedBatch(staged.payload, staged.bucket,
-                         [(VAL_H, VAL_W)] * batch, staged.tight)
-    ev.collect(ev.dispatch_batch(staged))   # warm
-    t0 = time.time()
-    prev = None
-    for _ in range(m):
-        handle = ev.dispatch_batch(staged)
-        if prev is not None:
-            ev.collect(prev)
-        prev = handle
-    ev.collect(prev)
-    return m * batch / (time.time() - t0)
+TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", 900.0))
 
 
 def main():
@@ -71,14 +58,8 @@ def main():
 
     ds = VisDroneDataset(os.path.join(REPO, "data", "demo"), split="")
     image = ds.load_image(ds.names[0])
-    if image.shape[:2] != (VAL_H, VAL_W):
-        image = np.asarray(
-            jax.image.resize(image.astype(np.float32), (VAL_H, VAL_W, 3),
-                             method="bilinear")).clip(0, 255).astype(np.uint8)
-    rng = np.random.RandomState(0)
     batch = args.batch
-    variants = [np.roll(image, tuple(rng.randint(0, 16, 2)), axis=(0, 1))
-                for _ in range(batch)]
+    variants = val_resolution_variants(image, batch)
 
     result = {
         "device": jax.devices()[0].device_kind,
@@ -87,6 +68,8 @@ def main():
                     "stage-1 topk=1500 -> per-class NMS -> 512 ROI "
                     "budget -> stage-2 re-regression",
         "baseline_img_per_sec": round(BASELINE_IMG_PER_SEC, 3),
+        "measurement": "end-to-end = median of weather-gated pipelined "
+                       "trials (benchlib, same harness as bench.py)",
         "variants": {},
     }
 
@@ -106,37 +89,35 @@ def main():
         preds = ev.predict_batch(variants)
         warmup = time.time() - t0
 
-        ceil = ceiling_img_per_sec(ev, ev._upload(variants), batch)
-
-        # short end-to-end pipelined run (weather-dependent, see bench.py)
-        from concurrent.futures import ThreadPoolExecutor
-        uploader = ThreadPoolExecutor(max_workers=1)
-        n_batches = 6
-        futs = [uploader.submit(ev._upload, variants)
-                for _ in range(n_batches)]
-        t0 = time.time()
-        in_flight = []
-        for i in range(n_batches):
-            in_flight.append(ev.dispatch_batch(futs[i].result()))
-            if len(in_flight) >= 4:
-                ev.collect(in_flight.pop(0))
-        while in_flight:
-            ev.collect(in_flight.pop(0))
-        e2e = n_batches * batch / (time.time() - t0)
-        uploader.shutdown()
-
         label = ("stage1_hard_nms" if nms_type == "nms"
                  else "stage1_pallas_soft_nms")
-        result["variants"][label] = {
-            "compute_ceiling_img_per_sec": round(ceil, 3),
-            "ceiling_vs_baseline": round(ceil / BASELINE_IMG_PER_SEC, 3),
-            "end_to_end_img_per_sec_one_run": round(e2e, 3),
+        entry = {
             "warmup_s": round(warmup, 1),
             "dets_per_img": int(preds[0].shape[0]),
         }
+
+        ceil = compute_ceiling(ev, ev._upload(variants), batch)
+        entry["compute_ceiling_img_per_sec"] = round(ceil, 3)
+        entry["ceiling_vs_baseline"] = round(ceil / BASELINE_IMG_PER_SEC, 3)
         print(f"# {label}: ceiling {ceil:.2f} img/s "
-              f"({ceil / BASELINE_IMG_PER_SEC:.2f}x), e2e {e2e:.2f} img/s",
-              file=sys.stderr)
+              f"({ceil / BASELINE_IMG_PER_SEC:.2f}x)", file=sys.stderr)
+
+        if nms_type == "nms":
+            # the deployment variant carries the weather-gated e2e median
+            stats = weather_gated_trials(ev, variants,
+                                         time_budget=TIME_BUDGET,
+                                         n_batches=8, depth=6)
+            stats.pop("staged0")
+            median = stats.pop("median")
+            entry["end_to_end_img_per_sec_median"] = median
+            entry["end_to_end_vs_baseline"] = round(
+                median / BASELINE_IMG_PER_SEC, 3)
+            entry.update(stats)
+            print(f"# {label}: e2e median {median:.2f} img/s = "
+                  f"{median / BASELINE_IMG_PER_SEC:.2f}x baseline "
+                  f"({stats['aborted_trials']} aborted)", file=sys.stderr)
+
+        result["variants"][label] = entry
 
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

@@ -1,0 +1,255 @@
+"""Fused Pallas kernel for modulated deformable conv v2 (forward).
+
+Replaces the XLA gather+einsum path of `ops/dcn.py::deform_conv2d` on
+TPU. The reference CUDA kernel family
+(`ext/dcn/src/cuda/dcn_v2_im2col_cuda.cu:25-401`) is bilinear-sampled
+im2col followed by a cuBLAS GEMM; a literal port would need per-element
+gathers, which the TPU has no fast path for (XLA lowers them to serial
+dynamic-slices — DCN_BENCH.json r3 measured the gather formulation at
+2-3x a plain conv's wall time, far off the arithmetic floor).
+
+TPU-native reformulation — bilinear sampling IS a pair of tiny dense
+matmuls:
+
+    sample(img, y, x) = sum_{yi} wy(yi) * sum_{xi} wx(xi) * img[yi, xi]
+    with  wy(yi) = relu(1 - |y - yi|)    (a "tent": <= 2 nonzeros)
+
+so for a row of output positions the y-interpolation of ALL samples is
+one (P, H) x (H, W*C) matmul on the MXU (the tent matrix is the
+one-hot-gather trick, with the bilinear weights folded in), and the
+x-interpolation is a lane-wise tent multiply + per-x-group reduction.
+The mask multiply and the conv GEMM fuse into the same VMEM-resident
+program, so the (Ho*Wo, kh*kw*Cin) im2col tensor that the CUDA version
+writes to global memory never exists in HBM here.
+
+Out-of-bounds semantics match the CUDA sampler exactly: a tent weight
+is zero outside [0, H) / [0, W), which reproduces both the zero-corner
+contribution and the "ys <= -1 or >= H samples are zero" rule
+(dmcn_im2col_bilinear, dcn_v2_im2col_cuda.cu:25-54) — verified against
+the XLA implementation in tests/test_pallas_dcn.py.
+
+Forward only: training uses the autodiff-friendly XLA path (gradients
+through tent weights are the same lerp-weight gradients the CUDA
+backward computes); `deform_conv2d_fused` wires this kernel as the
+custom-vjp forward with the XLA backward, so it is safe under jax.grad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rrnet_tpu.ops import dcn as _dcn_xla
+
+_VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom under ~16 MB/core
+
+
+def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
+    """Largest R in {8,4,2,1} dividing Ho whose working set fits VMEM.
+    The three (P, W*cpg) lane-wide buffers (V, the tent matrix, their
+    product) dominate; the image, weights and accumulator are counted
+    once."""
+    cpg = cin // g
+    fixed = (h * w * cin * itemsize +              # image block
+             kh * kw * cin * cout * itemsize)      # weight block
+    for r in (8, 4, 2, 1):
+        if ho % r:
+            continue
+        p = r * wo
+        per_tap = 3 * p * w * cpg * itemsize       # V, wx, V*wx
+        acc = p * cout * 4
+        if fixed + per_tap + acc <= _VMEM_BUDGET:
+            return r
+    return 1
+
+
+def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
+                stride, padding, dilation, g, kh, kw, r_rows, wo, h, w,
+                cpg, cout, has_mask, cdtype):
+    """One program computes r_rows full output rows (all taps, groups).
+
+    img_ref:  (1, G, H, W*cpg)      activation-dtype
+    off_ref:  (1, R, Wo, G*2*kk)    f32  [y cols | x cols], (g, tap) order
+    mask_ref: (1, R, Wo, G*kk)      f32  (all-ones when has_mask=False)
+    w_ref:    (G, kk, cpg, Cout)    activation-dtype
+    out_ref:  (1, R, Wo, Cout)      f32
+    """
+    kk = kh * kw
+    p = r_rows * wo
+    row0 = pl.program_id(1) * r_rows
+
+    off = off_ref[0].reshape(p, g * 2 * kk).astype(jnp.float32)
+    msk = mask_ref[0].reshape(p, g * kk).astype(jnp.float32)
+
+    # base sampling coords per sample (absolute output row / col)
+    local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    out_y = row0 + local // wo                       # (p, 1)
+    out_x = local % wo                               # (p, 1)
+    py = out_y.astype(jnp.float32) * stride - padding
+    px = out_x.astype(jnp.float32) * stride - padding
+
+    iota_h = jax.lax.broadcasted_iota(jnp.float32, (p, h), 1)
+    lane_x = (jax.lax.broadcasted_iota(
+        jnp.int32, (p, w * cpg), 1) // cpg).astype(jnp.float32)
+
+    acc = jnp.zeros((p, cout), jnp.float32)
+    for gi in range(g):
+        img_g = img_ref[0, gi]                       # (H, W*cpg)
+        for t in range(kk):
+            ky = (t // kw) * dilation
+            kx = (t % kw) * dilation
+            ys = py + ky + off[:, gi * kk + t][:, None]          # (p, 1)
+            xs = px + kx + off[:, g * kk + gi * kk + t][:, None]
+
+            # y-interpolation as an MXU matmul with a 2-nnz tent matrix
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iota_h))    # (p, H)
+            v = jax.lax.dot_general(
+                wy.astype(cdtype), img_g,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (p, W*cpg)
+
+            # x-interpolation: lane-wise tent multiply, then sum the
+            # W lane-groups of cpg lanes down to (p, cpg)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - lane_x))
+            sv = (v * wx).reshape(p, w, cpg)
+            s = jnp.sum(sv, axis=1)                              # (p, cpg)
+
+            if has_mask:
+                s = s * msk[:, gi * kk + t][:, None]
+
+            acc += jax.lax.dot_general(
+                s.astype(cdtype), w_ref[gi, t],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (p, Cout)
+
+    out_ref[0] = acc.reshape(r_rows, wo, cout)
+
+
+@partial(jax.jit, static_argnames=("stride", "padding", "dilation",
+                                   "deformable_groups", "interpret"))
+def deform_conv2d_pallas(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    deformable_groups: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-forward DCNv2; same signature/semantics as
+    ops.dcn.deform_conv2d."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    g = deformable_groups
+    kk = kh * kw
+    cpg = cin // g
+    assert cin % g == 0
+
+    ho = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    wo = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+
+    cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+    # pick the row-chunk size from a VMEM model: the two (P, W*cpg)
+    # buffers (V and the tent-multiplied copy) dominate
+    itemsize = 2 if cdtype == jnp.bfloat16 else 4
+    r_rows = 1
+    for r in (8, 4, 2, 1):
+        if ho % r == 0 and (2 * r * wo * w * cpg * itemsize +
+                            cin * (h * w) * itemsize // max(g, 1)
+                            ) <= _VMEM_BUDGET:
+            r_rows = r
+            break
+
+    # (B, G, H, W*cpg): per-group slices contiguous on lanes
+    img = x.astype(cdtype).reshape(b, h, w, g, cpg)
+    img = img.transpose(0, 3, 1, 2, 4).reshape(b, g, h, w * cpg)
+    wmat = weight.astype(cdtype).reshape(kh * kw, g, cpg, cout)
+    wmat = wmat.transpose(1, 0, 2, 3)                 # (G, kk, cpg, Cout)
+    if mask is None:
+        mask_arr = jnp.ones((b, ho, wo, g * kk), jnp.float32)
+        has_mask = False
+    else:
+        mask_arr = mask.astype(jnp.float32)
+        has_mask = True
+
+    kernel = partial(_dcn_kernel, stride=stride, padding=padding,
+                     dilation=dilation, g=g, kh=kh, kw=kw, r_rows=r_rows,
+                     wo=wo, h=h, w=w, cpg=cpg, cout=cout,
+                     has_mask=has_mask, cdtype=cdtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, ho // r_rows),
+        in_specs=[
+            pl.BlockSpec((1, g, h, w * cpg), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, wo, g * 2 * kk),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, wo, g * kk),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kk, cpg, cout), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_rows, wo, cout),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), jnp.float32),
+        interpret=interpret,
+    )(img, offset.astype(jnp.float32), mask_arr, wmat)
+
+    out = out.astype(jnp.promote_types(x.dtype, jnp.float32))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper: Pallas forward, XLA-autodiff backward
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def deform_conv2d_fused(x, weight, offset, mask, bias,
+                        stride=1, padding=1, dilation=1,
+                        deformable_groups=1):
+    """deform_conv2d with the fused Pallas forward and the XLA
+    gather+einsum backward (the gradients autodiff derives there are the
+    same lerp-weight gradients dcn_v2_im2col_cuda.cu:56-123 hand-codes).
+    Call through ops.dcn-style keyword args; mask/bias may be None."""
+    return deform_conv2d_pallas(
+        x, weight, offset, mask, bias, stride=stride, padding=padding,
+        dilation=dilation, deformable_groups=deformable_groups)
+
+
+def _fused_fwd(x, weight, offset, mask, bias,
+               stride, padding, dilation, deformable_groups):
+    out = deform_conv2d_pallas(
+        x, weight, offset, mask, bias, stride=stride, padding=padding,
+        dilation=dilation, deformable_groups=deformable_groups)
+    return out, (x, weight, offset, mask, bias)
+
+
+def _fused_bwd(stride, padding, dilation, deformable_groups,
+               residuals, ct):
+    x, weight, offset, mask, bias = residuals
+
+    def ref(x_, w_, o_, m_, b_):
+        return _dcn_xla.deform_conv2d(
+            x_, w_, o_, m_, b_, stride=stride, padding=padding,
+            dilation=dilation, deformable_groups=deformable_groups)
+
+    _, vjp = jax.vjp(ref, x, weight, offset, mask, bias)
+    return vjp(ct.astype(jnp.promote_types(x.dtype, jnp.float32)))
+
+
+deform_conv2d_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -60,7 +60,7 @@ class SharedConv(nn.Module):
         # Deformable variant: per-branch offset/mask convs (not shared),
         # shared sampling weight — reference SharedDefromConv
         # (trident.py:8-63).
-        from rrnet_tpu.ops.dcn import deform_conv2d
+        from rrnet_tpu.ops.dcn import deform_conv2d_auto
 
         outs = []
         for i, (x, d) in enumerate(zip(xs, self.dilations)):
@@ -75,7 +75,7 @@ class SharedConv(nn.Module):
             n_off = self.deformable_groups * 2 * self.kernel * self.kernel
             offset = om[..., :n_off]
             mask = jax.nn.sigmoid(om[..., n_off:])
-            outs.append(deform_conv2d(
+            outs.append(deform_conv2d_auto(
                 x, w, offset, mask, stride=self.stride, dilation=d,
                 padding=d, deformable_groups=self.deformable_groups))
         return outs

@@ -229,3 +229,36 @@ def deform_psroi_pooling(
         return jax.vmap(lambda a, b, c_, d, e, f: one_roi(a, b, c_, d, e, f, None)
                         )(x1, y1, bin_w, bin_h, sub_w, sub_h)
     return jax.vmap(one_roi)(x1, y1, bin_w, bin_h, sub_w, sub_h, trans)
+
+
+def deform_conv2d_auto(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    deformable_groups: int = 1,
+) -> jnp.ndarray:
+    """deform_conv2d that picks the fused Pallas forward on TPU.
+
+    On a TPU backend, when the kernel's VMEM model says the shape fits
+    (ops/pallas_dcn.py::fits_vmem), dispatch to deform_conv2d_fused —
+    the single-program sampling+mask+GEMM kernel with the XLA backward
+    wired through custom_vjp (safe under jax.grad). Everywhere else
+    (CPU tests, oversized shapes) fall back to the XLA gather+einsum.
+    Dispatch is a trace-time decision: shapes and backend are static.
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        from rrnet_tpu.ops.pallas_dcn import deform_conv2d_fused, fits_vmem
+        if fits_vmem(x.shape, weight.shape, stride=stride, padding=padding,
+                     dilation=dilation, deformable_groups=deformable_groups,
+                     dtype=x.dtype):
+            return deform_conv2d_fused(
+                x, weight, offset, mask, bias,
+                stride, padding, dilation, deformable_groups)
+    return deform_conv2d(
+        x, weight, offset, mask, bias, stride=stride, padding=padding,
+        dilation=dilation, deformable_groups=deformable_groups)

@@ -50,10 +50,10 @@ _VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom under ~16 MB/core
 
 
 def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
-    """Largest R in {8,4,2,1} dividing Ho whose working set fits VMEM.
-    The three (P, W*cpg) lane-wide buffers (V, the tent matrix, their
-    product) dominate; the image, weights and accumulator are counted
-    once."""
+    """Largest R in {8,4,2,1} dividing Ho whose working set fits VMEM,
+    0 if even R=1 does not fit. Intermediates (V, the x-tent, their
+    product) are f32 regardless of the compute dtype; the image and
+    weight blocks are counted at the activation itemsize."""
     cpg = cin // g
     fixed = (h * w * cin * itemsize +              # image block
              kh * kw * cin * cout * itemsize)      # weight block
@@ -61,11 +61,27 @@ def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
         if ho % r:
             continue
         p = r * wo
-        per_tap = 3 * p * w * cpg * itemsize       # V, wx, V*wx
-        acc = p * cout * 4
+        per_tap = 3 * p * w * cpg * 4              # V, wx, V*wx (f32)
+        acc = p * cout * 4 + p * h * 4             # accumulator + y-tent
         if fixed + per_tap + acc <= _VMEM_BUDGET:
             return r
-    return 1
+    return 0
+
+
+def fits_vmem(x_shape, w_shape, *, stride=1, padding=1, dilation=1,
+              deformable_groups=1, dtype=None) -> bool:
+    """Trace-time feasibility check for deform_conv2d_auto dispatch."""
+    b, h, w, cin = x_shape
+    kh, kw, _, cout = w_shape
+    if cin % deformable_groups:
+        return False
+    ho = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    wo = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    if min(b, ho, wo) <= 0:
+        return False
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    return _pick_rows(ho, wo, h, w, cin, cout, deformable_groups,
+                      kh, kw, itemsize) > 0
 
 
 def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
@@ -73,18 +89,23 @@ def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
                 cpg, cout, has_mask, cdtype):
     """One program computes r_rows full output rows (all taps, groups).
 
+    Mosaic constraint: no 2D<->3D shape casts inside the kernel, so all
+    spatially-indexed refs arrive with (Ho*Wo) already flattened and the
+    strided x-group reduction is a matmul with a constant 0/1 fold
+    matrix instead of a reshape+sum.
+
     img_ref:  (1, G, H, W*cpg)      activation-dtype
-    off_ref:  (1, R, Wo, G*2*kk)    f32  [y cols | x cols], (g, tap) order
-    mask_ref: (1, R, Wo, G*kk)      f32  (all-ones when has_mask=False)
+    off_ref:  (1, P, G*2*kk)        f32  [y cols | x cols], (g, tap) order
+    mask_ref: (1, P, G*kk)          f32  (all-ones when has_mask=False)
     w_ref:    (G, kk, cpg, Cout)    activation-dtype
-    out_ref:  (1, R, Wo, Cout)      f32
+    out_ref:  (1, P, Cout)          f32        (P = r_rows * Wo)
     """
     kk = kh * kw
     p = r_rows * wo
     row0 = pl.program_id(1) * r_rows
 
-    off = off_ref[0].reshape(p, g * 2 * kk).astype(jnp.float32)
-    msk = mask_ref[0].reshape(p, g * kk).astype(jnp.float32)
+    off = off_ref[0].astype(jnp.float32)
+    msk = mask_ref[0].astype(jnp.float32)
 
     # base sampling coords per sample (absolute output row / col)
     local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
@@ -93,9 +114,20 @@ def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
     py = out_y.astype(jnp.float32) * stride - padding
     px = out_x.astype(jnp.float32) * stride - padding
 
-    iota_h = jax.lax.broadcasted_iota(jnp.float32, (p, h), 1)
+    # mosaic only lowers integer iota; cast after
+    # mosaic only lowers integer iota; cast after
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1).astype(jnp.float32)
     lane_x = (jax.lax.broadcasted_iota(
         jnp.int32, (p, w * cpg), 1) // cpg).astype(jnp.float32)
+
+    # constant fold matrix: F[x*cpg + c, c] = 1 — the per-x-group sum
+    # (p, W*cpg) -> (p, cpg) as one MXU matmul, replacing the
+    # reshape(p, w, cpg).sum(axis=1) Mosaic cannot lower
+    # f32: the fold is exact selection, and keeping sv in f32 preserves
+    # the old reshape+sum numerics
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (w * cpg, cpg), 0) % cpg ==
+            jax.lax.broadcasted_iota(jnp.int32, (w * cpg, cpg), 1)
+            ).astype(jnp.float32)
 
     acc = jnp.zeros((p, cout), jnp.float32)
     for gi in range(g):
@@ -113,11 +145,14 @@ def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)              # (p, W*cpg)
 
-            # x-interpolation: lane-wise tent multiply, then sum the
-            # W lane-groups of cpg lanes down to (p, cpg)
+            # x-interpolation: lane-wise tent multiply, then fold the
+            # W lane-groups of cpg lanes down to (p, cpg) on the MXU
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - lane_x))
-            sv = (v * wx).reshape(p, w, cpg)
-            s = jnp.sum(sv, axis=1)                              # (p, cpg)
+            sv = v * wx
+            s = jax.lax.dot_general(
+                sv, fold,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (p, cpg)
 
             if has_mask:
                 s = s * msk[:, gi * kk + t][:, None]
@@ -127,7 +162,7 @@ def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)              # (p, Cout)
 
-    out_ref[0] = acc.reshape(r_rows, wo, cout)
+    out_ref[0] = acc
 
 
 @partial(jax.jit, static_argnames=("stride", "padding", "dilation",
@@ -158,16 +193,11 @@ def deform_conv2d_pallas(
 
     cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-    # pick the row-chunk size from a VMEM model: the two (P, W*cpg)
-    # buffers (V and the tent-multiplied copy) dominate
+    # pick the row-chunk size from the shared VMEM model (the (P, W*cpg)
+    # f32 intermediates dominate); callers should have checked
+    # fits_vmem(), but degrade to R=1 rather than fail here
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
-    r_rows = 1
-    for r in (8, 4, 2, 1):
-        if ho % r == 0 and (2 * r * wo * w * cpg * itemsize +
-                            cin * (h * w) * itemsize // max(g, 1)
-                            ) <= _VMEM_BUDGET:
-            r_rows = r
-            break
+    r_rows = _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) or 1
 
     # (B, G, H, W*cpg): per-group slices contiguous on lanes
     img = x.astype(cdtype).reshape(b, h, w, g, cpg)
@@ -186,27 +216,31 @@ def deform_conv2d_pallas(
                      wo=wo, h=h, w=w, cpg=cpg, cout=cout,
                      has_mask=has_mask, cdtype=cdtype)
 
+    # spatial dims flattened to (Ho*Wo) outside the kernel: Mosaic
+    # cannot lower 2D<->3D shape casts, so refs must already be 2D-lane
+    p = r_rows * wo
+    off_flat = offset.astype(jnp.float32).reshape(b, ho * wo, g * 2 * kk)
+    mask_flat = mask_arr.reshape(b, ho * wo, g * kk)
+
     out = pl.pallas_call(
         kernel,
         grid=(b, ho // r_rows),
         in_specs=[
             pl.BlockSpec((1, g, h, w * cpg), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows, wo, g * 2 * kk),
-                         lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, p, g * 2 * kk), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows, wo, g * kk),
-                         lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, p, g * kk), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, kk, cpg, cout), lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r_rows, wo, cout),
-                               lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, p, cout), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ho * wo, cout), jnp.float32),
         interpret=interpret,
-    )(img, offset.astype(jnp.float32), mask_arr, wmat)
+    )(img, off_flat, mask_flat, wmat)
+    out = out.reshape(b, ho, wo, cout)
 
     out = out.astype(jnp.promote_types(x.dtype, jnp.float32))
     if bias is not None:

@@ -84,8 +84,30 @@ def bench_case(name: str, b: int, h: int, w: int, c: int, g: int,
         dimension_numbers=("NHWC", "HWIO", "NHWC")))
     t_conv = _time_chained(conv, (x, wgt), steps)
 
+    # fused Pallas forward (ops/pallas_dcn.py): sampling + mask + GEMM in
+    # one VMEM-resident program — the im2col tensor never reaches HBM
+    t_pallas = None
+    try:
+        from rrnet_tpu.ops.pallas_dcn import deform_conv2d_pallas
+        pdcn = jax.jit(lambda x, wgt, off, msk: deform_conv2d_pallas(
+            x, wgt, off.astype(jnp.float32), msk.astype(jnp.float32),
+            stride=1, padding=dilation, dilation=dilation,
+            deformable_groups=g))
+        t_pallas = _time_chained(pdcn, (x, wgt, off, msk), steps)
+    except Exception as e:  # pragma: no cover - kernel may not fit a shape
+        print(f"# pallas skipped for {name}: {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+
     flops = 2 * b * h * w * kk * c * c
+    extra = {}
+    if t_pallas is not None:
+        extra = {
+            "pallas_fwd_ms": round(t_pallas * 1e3, 2),
+            "pallas_vs_xla": round(t_fwd / max(t_pallas, 1e-9), 2),
+            "pallas_fwd_tflops": round(flops / t_pallas / 1e12, 1),
+        }
     return {
+        **extra,
         "case": name,
         "shape": [b, h, w, c],
         "deformable_groups": g,

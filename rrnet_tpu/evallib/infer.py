@@ -84,7 +84,7 @@ class Evaluator:
                  bucket_multiple: int = 128, decode_topk: int = 250,
                  upload_streams: int = 1, mesh=None,
                  fuse_flip: bool = True, quantize: Optional[str] = None,
-                 stage2_decode: bool = True):
+                 stage2_decode="full"):
         """mesh: optional jax.sharding.Mesh — eval batches are then
         sharded over the mesh's first (data) axis, so an N-chip mesh
         evaluates N images' programs concurrently (replaces the
@@ -92,11 +92,16 @@ class Evaluator:
         operators/rrnet_operator.py:246-284). Batch sizes must be
         divisible by the data-axis size.
 
-        stage2_decode: RRNet only — when False, report the stage-1 ROIs
-        directly instead of applying the stage-2 re-regression deltas
-        (the ablation the reference's generate_bbox supports via its
-        stage-1 return, operators/rrnet_operator.py:188-209). Used by
-        the synthetic gate to prove stage 2 improves AP."""
+        stage2_decode: RRNet only — "full"/True applies the stage-2
+        re-regression deltas; "stage1"/False reports the stage-1 ROIs
+        directly (the ablation the reference's generate_bbox supports
+        via its stage-1 return, operators/rrnet_operator.py:188-209);
+        "zero" runs the SAME decode with all-zero deltas (the identity
+        under the reference's +1-extent convention,
+        rrnet_operator.py:198-205) — the fair baseline for "did the
+        head learn anything", immune to the +1 growth that dominates
+        when stage-1 boxes are already near-perfect. Used by the
+        synthetic gate."""
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got "
                              f"{quantize!r}")
@@ -109,6 +114,11 @@ class Evaluator:
         # dispatched batch when calibrate() was never called.
         self.quantize = quantize
         self._quant_scales: Optional[dict] = None
+        if stage2_decode in (True, False):
+            stage2_decode = "full" if stage2_decode else "stage1"
+        if stage2_decode not in ("full", "stage1", "zero"):
+            raise ValueError(f"stage2_decode must be full/stage1/zero, "
+                             f"got {stage2_decode!r}")
         self.stage2_decode = stage2_decode
         self.model = model if model is not None else build_model(cfg)
         self.variables = variables
@@ -374,7 +384,7 @@ class Evaluator:
                 xywh, score, classes, valid = jax.vmap(one)(loc, best, best_idx)
                 return pack(xywh, score, classes, valid)
         elif name == "rrnet":
-            use_stage2 = self.stage2_decode
+            s2_mode = self.stage2_decode
 
             @maybe_jit
             def fn(args, payload, valid_hw):
@@ -385,8 +395,13 @@ class Evaluator:
                 rois_xywh = jnp.concatenate(
                     [rois_xyxy[..., :2],
                      rois_xyxy[..., 2:4] - rois_xyxy[..., :2]], -1)
-                s2_xywh = (decode_boxes(rois_xywh, outs.stage2_reg)
-                           if use_stage2 else rois_xywh)
+                if s2_mode == "full":
+                    s2_xywh = decode_boxes(rois_xywh, outs.stage2_reg)
+                elif s2_mode == "zero":
+                    s2_xywh = decode_boxes(rois_xywh,
+                                           jnp.zeros_like(outs.stage2_reg))
+                else:
+                    s2_xywh = rois_xywh
                 return pack(s2_xywh, outs.roi_scores,
                             outs.roi_classes.astype(jnp.float32) + 1.0,
                             outs.roi_valid)

@@ -51,9 +51,8 @@ _VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom under ~16 MB/core
 
 def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
     """Largest R in {8,4,2,1} dividing Ho whose working set fits VMEM,
-    0 if even R=1 does not fit. Intermediates (V, the x-tent, their
-    product) are f32 regardless of the compute dtype; the image and
-    weight blocks are counted at the activation itemsize."""
+    0 if even R=1 does not fit. All large buffers (image, weights and
+    the V / x-tent / product intermediates) live in the compute dtype."""
     cpg = cin // g
     fixed = (h * w * cin * itemsize +              # image block
              kh * kw * cin * cout * itemsize)      # weight block
@@ -61,7 +60,7 @@ def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
         if ho % r:
             continue
         p = r * wo
-        per_tap = 3 * p * w * cpg * 4              # V, wx, V*wx (f32)
+        per_tap = 3 * p * w * cpg * itemsize       # V, wx, V*wx (compute dtype)
         acc = p * cout * 4 + p * h * 4             # accumulator + y-tent
         if fixed + per_tap + acc <= _VMEM_BUDGET:
             return r
@@ -115,19 +114,18 @@ def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
     px = out_x.astype(jnp.float32) * stride - padding
 
     # mosaic only lowers integer iota; cast after
-    # mosaic only lowers integer iota; cast after
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1).astype(jnp.float32)
     lane_x = (jax.lax.broadcasted_iota(
         jnp.int32, (p, w * cpg), 1) // cpg).astype(jnp.float32)
 
     # constant fold matrix: F[x*cpg + c, c] = 1 — the per-x-group sum
     # (p, W*cpg) -> (p, cpg) as one MXU matmul, replacing the
-    # reshape(p, w, cpg).sum(axis=1) Mosaic cannot lower
-    # f32: the fold is exact selection, and keeping sv in f32 preserves
-    # the old reshape+sum numerics
+    # reshape(p, w, cpg).sum(axis=1) Mosaic cannot lower. The fold is
+    # exact 0/1 selection, so running it in the compute dtype is safe;
+    # the MXU accumulates in f32 either way.
     fold = (jax.lax.broadcasted_iota(jnp.int32, (w * cpg, cpg), 0) % cpg ==
             jax.lax.broadcasted_iota(jnp.int32, (w * cpg, cpg), 1)
-            ).astype(jnp.float32)
+            ).astype(cdtype)
 
     acc = jnp.zeros((p, cout), jnp.float32)
     for gi in range(g):
@@ -140,15 +138,20 @@ def _dcn_kernel(img_ref, off_ref, mask_ref, w_ref, out_ref, *,
 
             # y-interpolation as an MXU matmul with a 2-nnz tent matrix
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iota_h))    # (p, H)
+            # keep v in the compute dtype: halves the dominant VMEM
+            # buffers, which doubles r_rows at the big eval shapes
+            # (Mosaic requires a 32-bit matmul accumulator, so cast
+            # after the dot rather than via preferred_element_type)
             v = jax.lax.dot_general(
                 wy.astype(cdtype), img_g,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # (p, W*cpg)
+                preferred_element_type=jnp.float32
+            ).astype(cdtype)                                     # (p, W*cpg)
 
             # x-interpolation: lane-wise tent multiply, then fold the
             # W lane-groups of cpg lanes down to (p, cpg) on the MXU
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - lane_x))
-            sv = v * wx
+            sv = v * wx.astype(cdtype)
             s = jax.lax.dot_general(
                 sv, fold,
                 dimension_numbers=(((1,), (0,)), ((), ())),

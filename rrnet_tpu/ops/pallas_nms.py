@@ -7,11 +7,18 @@ ext/nms/nms/cpu_nms.pyx:17-120) and makes the pure-XLA formulation in
 ops.nms pay per-step dispatch overhead (K fori_loop iterations, each a
 handful of tiny HLO ops over (K,) vectors).
 
-This kernel runs the whole loop inside ONE Pallas program: all state
-(scores, active/selected flags, ranks) lives in VMEM/registers, each
-iteration is a few VPU vector ops over a (8, K/8) tile, and the box
-coordinates are kept transposed (4, K) so the IoU row against the
-selected box is a pure lane-wise computation.
+This kernel runs the whole loop inside ONE Pallas program with all
+state resident in VMEM. Two things make it fast on the VPU:
+
+  * full-tile state: every per-box vector lives as an (8, K/8) tile,
+    so each elementwise op uses all 8 sublanes x 128 lanes of the VPU.
+    (The r3 version kept state as (1, K) rows — 1/8 sublane
+    utilization.)
+  * fori_loop selection: `max_out` bounds the iteration count; an
+    early-exit while_loop would be the natural next step, but Mosaic
+    on this backend hangs compiling scf.while (minimal repro: any
+    lax.while_loop inside pallas_call), so the loop is a fixed-trip
+    fori with all work masked once candidates run out.
 
 Semantics are identical to ops.nms.soft_nms (which is oracle-tested
 against the Cython algorithm): +1 legacy extents, overlap-gated
@@ -32,35 +39,39 @@ _METHODS = {"linear": 1, "gaussian": 2, "hard": 0}
 _NEG = -1e30
 
 
-def _make_kernel(k: int, steps: int, method_id: int, sigma: float,
-                 iou_threshold: float, score_threshold: float,
+def _make_kernel(rows: int, cols: int, steps: int, method_id: int,
+                 sigma: float, iou_threshold: float, score_threshold: float,
                  per_class: bool):
     def kernel(boxes_ref, scores_ref, valid_ref, cls_ref,
                out_scores_ref, selected_ref, rank_ref):
-        # boxes_ref: (4, K) [x1, y1, x2, y2]; everything else (1, K).
-        x1 = boxes_ref[0:1, :]
-        y1 = boxes_ref[1:2, :]
-        x2 = boxes_ref[2:3, :]
-        y2 = boxes_ref[3:4, :]
+        # boxes_ref: (4, rows, cols) [x1, y1, x2, y2]; the rest
+        # (rows, cols) — the padded (K,) vector reshaped row-major.
+        x1 = boxes_ref[0]
+        y1 = boxes_ref[1]
+        x2 = boxes_ref[2]
+        y2 = boxes_ref[3]
         area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
-        cls = cls_ref[0:1, :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        cls = cls_ref[...]
+        k = rows * cols
+        # linear index of each slot under the row-major (K,) layout
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols +
+               jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1))
 
-        valid = valid_ref[0:1, :] > 0.0
-        cur0 = jnp.where(valid, scores_ref[0:1, :], _NEG)
+        valid = valid_ref[...] > 0.0
+        cur0 = jnp.where(valid, scores_ref[...], _NEG)
 
         def body(step, state):
-            # flags carried as f32 vectors (Mosaic-friendly)
+            # flags carried as f32 tiles (Mosaic-friendly)
             cur, active_f, selected_f, rank = state
             active = active_f > 0.0
             selected = selected_f > 0.0
             cand = jnp.where(active & jnp.logical_not(selected), cur, _NEG)
             maxval = jnp.max(cand)
             any_left = maxval > _NEG
-            # first lane attaining the max (vectorized argmax)
+            # first slot attaining the max (vectorized argmax)
             is_max = cand >= maxval
-            first = jnp.min(jnp.where(is_max, lane, k))
-            is_m = (lane == first) & any_left
+            first = jnp.min(jnp.where(is_max, idx, k))
+            is_m = (idx == first) & any_left
             selected = selected | is_m
             rank = jnp.where(is_m & (rank == k), step, rank)
 
@@ -97,13 +108,13 @@ def _make_kernel(k: int, steps: int, method_id: int, sigma: float,
                     selected.astype(jnp.float32), rank)
 
         init = (cur0, valid.astype(jnp.float32),
-                jnp.zeros((1, k), jnp.float32),
-                jnp.full((1, k), k, jnp.int32))
+                jnp.zeros((rows, cols), jnp.float32),
+                jnp.full((rows, cols), k, jnp.int32))
         cur, active_f, selected_f, rank = jax.lax.fori_loop(
             0, steps, body, init)
-        out_scores_ref[0:1, :] = cur
-        selected_ref[0:1, :] = selected_f
-        rank_ref[0:1, :] = rank
+        out_scores_ref[...] = cur
+        selected_ref[...] = selected_f
+        rank_ref[...] = rank
 
     return kernel
 
@@ -127,10 +138,12 @@ def soft_nms_pallas(
     """Drop-in replacement for ops.nms.soft_nms running as one Pallas
     program. Returns (new_scores, keep, rank) with identical semantics.
 
-    boxes (K, 4) xyxy; K is padded internally to a multiple of 128.
+    boxes (K, 4) xyxy; K is padded internally to a multiple of 1024
+    (8 sublanes x 128 lanes) so state tiles are fully dense.
     """
     k0 = boxes.shape[0]
-    k = ((k0 + 127) // 128) * 128
+    k = max(((k0 + 1023) // 1024) * 1024, 1024)
+    rows, cols = 8, k // 8
     steps = k0 if max_out is None else min(max_out, k0)
     if per_class is None:
         per_class = class_ids is not None
@@ -140,27 +153,31 @@ def soft_nms_pallas(
         class_ids = jnp.zeros((k0,), jnp.int32)
 
     pad = k - k0
-    boxes_t = jnp.pad(boxes.astype(jnp.float32), ((0, pad), (0, 0))).T  # (4, K)
-    scores_p = jnp.pad(scores.astype(jnp.float32), (0, pad))[None]
-    valid_p = jnp.pad(valid.astype(jnp.float32), (0, pad))[None]
-    cls_p = jnp.pad(class_ids.astype(jnp.float32), (0, pad))[None]
+    boxes_t = jnp.pad(boxes.astype(jnp.float32), ((0, pad), (0, 0)))
+    boxes_t = boxes_t.T.reshape(4, rows, cols)
+    scores_p = jnp.pad(scores.astype(jnp.float32), (0, pad)).reshape(rows, cols)
+    valid_p = jnp.pad(valid.astype(jnp.float32), (0, pad)).reshape(rows, cols)
+    cls_p = jnp.pad(class_ids.astype(jnp.float32), (0, pad)).reshape(rows, cols)
 
-    kernel = _make_kernel(k, steps, _METHODS[method], sigma,
+    kernel = _make_kernel(rows, cols, steps, _METHODS[method], sigma,
                           iou_threshold, score_threshold, per_class)
     out_scores, selected, rank = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, k), jnp.int32),
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            jax.ShapeDtypeStruct((rows, cols), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         interpret=interpret,
     )(boxes_t, scores_p, valid_p, cls_p)
 
-    return (out_scores[0, :k0], selected[0, :k0] > 0.5,
-            jnp.where(rank[0, :k0] >= steps, k0, rank[0, :k0]))
+    out_scores = out_scores.reshape(k)[:k0]
+    selected = selected.reshape(k)[:k0]
+    rank = rank.reshape(k)[:k0]
+    return (out_scores, selected > 0.5,
+            jnp.where(rank >= steps, k0, rank))
 
 
 def soft_nms_auto(*args, **kw):

@@ -119,11 +119,23 @@ def run_family(family: str, args) -> dict:
     }
 
     if family == "rrnet":
-        # prove the namesake stage learns: stage-2 re-regression decode
-        # must beat decoding the stage-1 ROIs as-is
-        s1 = eval_ap("rrnet_stage1_only", stage2_decode=False)
+        # two ablations around the namesake stage:
+        #  * stage1_only — report raw stage-1 ROIs (reference
+        #    generate_bbox's s1 return).
+        #  * zero_delta — the SAME stage-2 decode with all-zero deltas
+        #    (identity under the reference's +1-extent convention,
+        #    rrnet_operator.py:198-205). "Stage 2 learns" == full decode
+        #    beats zero_delta; on easy synthetic data stage-1 boxes are
+        #    near-perfect so stage1_only can exceed both (the +1 growth
+        #    dominates; measured ceiling analysis in SYNTH_AP notes) —
+        #    that comparison reflects the data regime, not the head.
+        s1 = eval_ap("rrnet_stage1_only", stage2_decode="stage1")
+        z0 = eval_ap("rrnet_zero_delta", stage2_decode="zero")
         entry["stage1_only"] = s1
-        entry["stage2_AP_gain"] = round(entry["AP"] - s1["AP"], 4)
+        entry["zero_delta"] = z0
+        entry["stage2_AP_gain_vs_zero_delta"] = round(
+            entry["AP"] - z0["AP"], 4)
+        entry["stage2_AP_gain_vs_stage1"] = round(entry["AP"] - s1["AP"], 4)
         entry["train"]["stage2_warmup_steps"] = args.steps // 4
 
     if args.int8_delta and family == "centernet":
@@ -145,6 +157,9 @@ def main():
     ap.add_argument("--int8-delta", action="store_true",
                     help="additionally eval centernet with quantize="
                          "'int8' and record the AP delta")
+    ap.add_argument("--update", action="store_true",
+                    help="merge into an existing --out instead of "
+                         "overwriting: families not re-run are kept")
     ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = ap.parse_args()
 
@@ -158,13 +173,24 @@ def main():
     make_synth_dataset(args.dir, n_train=N_TRAIN, n_val=N_VAL, seed=SEED)
 
     families = FAMILIES if args.family == "all" else (args.family,)
+    entries = [run_family(f, args) for f in families]
     result = {
         "gate": "synthetic multi-image train->eval->AP",
         "dataset": {"n_train": N_TRAIN, "n_val": N_VAL, "seed": SEED,
                     "generator": "rrnet_tpu/data/synth.py"},
         "eval_protocol": "single scale, no flip TTA, bucketed batch 4",
-        "families": [run_family(f, args) for f in families],
+        "families": entries,
     }
+    if args.update and os.path.exists(args.out):
+        # merge: keep existing families not re-run this invocation (so a
+        # single family can be re-gated, e.g. at a longer schedule,
+        # without discarding the others' entries)
+        with open(args.out) as f:
+            prev = json.load(f)
+        done = {e["family"] for e in entries}
+        result["families"] = [e for e in prev.get("families", [])
+                              if e["family"] not in done] + entries
+        result["families"].sort(key=lambda e: FAMILIES.index(e["family"]))
 
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

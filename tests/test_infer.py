@@ -168,3 +168,27 @@ def test_fused_flip_matches_unfused():
             j = int(d.argmin())
             assert d[j] < 0.5, (row, conf_b)
             used[j] = True
+
+
+def test_stage2_zero_delta_mode():
+    """stage2_decode='zero' must equal the stage-1 ROIs grown by the
+    reference's +1 extent (x, y unchanged; w, h + 1)."""
+    import jax.numpy as jnp
+    from rrnet_tpu.ops.box import decode_boxes
+
+    rois_xywh = jnp.asarray([[10.0, 20.0, 30.0, 40.0],
+                             [0.0, 0.0, 5.0, 7.0]])
+    dec = decode_boxes(rois_xywh, jnp.zeros_like(rois_xywh))
+    np.testing.assert_allclose(
+        np.asarray(dec),
+        np.asarray([[10.0, 20.0, 31.0, 41.0], [0.0, 0.0, 6.0, 8.0]]),
+        rtol=1e-6)
+
+
+def test_evaluator_stage2_decode_validation():
+    from rrnet_tpu import config as cfglib
+    from rrnet_tpu.evallib.infer import Evaluator
+    cfg = cfglib.rrnet_config()
+    with pytest.raises(ValueError):
+        Evaluator(cfg, variables=None, model=object(),
+                  stage2_decode="bogus")

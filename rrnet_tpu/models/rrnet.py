@@ -76,11 +76,20 @@ class RRNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, valid_hw=None) -> RRNetOutputs:
+    def __call__(self, x, train: bool = False, valid_hw=None,
+                 roi_jitter=None) -> RRNetOutputs:
         """valid_hw: optional (B, 2) int32 [h, w] image extents; when the
         batch is padded to a shape bucket (multi-scale eval), heatmap
         logits outside the valid stride-4 extent are masked before
-        decoding so padding cannot emit detections."""
+        decoding so padding cannot emit detections.
+
+        roi_jitter: optional (B, R, 4) additive offsets (feature coords)
+        applied to the selected stage-1 ROIs before ROI-align/stage-2 —
+        the coarse-ROI ablation: on VisDrone-like data stage-1 boxes
+        err by multiple feature pixels, which is the regime the stage-2
+        re-regression exists for (rrnet_operator.py:63-102); jittering
+        at eval reproduces that regime on easy data so the gate can
+        measure whether stage 2 undoes known box noise. Eval-only."""
         # I. Backbone (one 256-ch stride-4 map per stack).
         feats = get_backbone(self.backbone, self.num_stacks, self.bn_axis,
                              self.dtype)(x, train)
@@ -144,6 +153,8 @@ class RRNet(nn.Module):
 
         rois, roi_scores, roi_classes, roi_valid = jax.vmap(select_rois)(
             dets.boxes, dets.scores, dets.classes)
+        if roi_jitter is not None:
+            rois = rois + roi_jitter.astype(rois.dtype)
 
         # V. Stage 2: ROI-align over relu(last feat), bottleneck regressor.
         # Train keeps the f32 cast so the backward scatter-add through

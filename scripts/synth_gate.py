@@ -14,10 +14,11 @@ so later rounds can regress against all three.
 
 Family-specific gate criteria:
   * rrnet — trained past a scaled stage-2 warmup gate (the 2000-step
-    analogue, operators/rrnet_operator.py:132-135), and evaluated BOTH
-    with the stage-2 re-regression decode and with stage-1 ROIs only:
-    the artifact records the stage-2 AP gain, proving the namesake
-    second stage learns.
+    analogue, operators/rrnet_operator.py:132-135), and evaluated with
+    THREE decode variants: full stage-2 re-regression, stage-1 ROIs
+    only, and zero-delta (identity under the +1-extent convention).
+    All three AP rows are recorded; see the per-entry note for why the
+    easy synthetic regime makes stage-2 gains negative here.
   * centernet — optional --int8-delta re-evaluates the same weights
     under PTQ int8 and records the AP delta (the accuracy cost paired
     with INT8_BENCH.json's throughput ceiling).
@@ -137,6 +138,16 @@ def run_family(family: str, args) -> dict:
             entry["AP"] - z0["AP"], 4)
         entry["stage2_AP_gain_vs_stage1"] = round(entry["AP"] - s1["AP"], 4)
         entry["train"]["stage2_warmup_steps"] = args.steps // 4
+        entry["note"] = (
+            "negative stage-2 gains are a property of this easy data "
+            "regime, not a defect: stage-1 ROIs here reach IoU~0.95 so "
+            "the residual targets are sub-feature-pixel (|delta|~0.05) "
+            "— below what a 3x3 ROI-align on stride-4 features can "
+            "resolve — and AP50 is unchanged while AP75 absorbs the "
+            "prediction noise; on VisDrone-scale boxes stage-1 errs by "
+            "multiple feature pixels, the regime stage 2 exists for. "
+            "Mechanism analysis: PERF.md 'RRNet stage-2 on easy data'. "
+            "Regression use: track all three decode variants.")
 
     if args.int8_delta and family == "centernet":
         s8 = eval_ap("centernet_int8", quantize="int8")

@@ -33,11 +33,20 @@ VAL_H, VAL_W = 765, 1360                # VisDrone dominant val resolution
 
 
 def probe_bw(mb: int = 16) -> float:
-    """One host->device upload probe, MB/s."""
+    """One host->device upload probe, MB/s — DELIVERY-verified.
+
+    block_until_ready() on a device_put can return once the bytes are
+    in the tunnel's send buffer (readings up to 4 GB/s observed, then
+    the link collapses below 1 MB/s draining the backlog), so the probe
+    forces a reduction over the uploaded bytes and fetches the scalar:
+    that result can only exist after the data actually reached the
+    device."""
     import jax
+    import jax.numpy as jnp
     buf = np.random.randint(0, 255, (mb * 1024 * 1024,), np.uint8)
     t0 = time.time()
-    jax.device_put(buf).block_until_ready()
+    d = jax.device_put(buf)
+    int(jnp.sum(d.astype(jnp.uint32)))      # device readback barrier
     return mb / (time.time() - t0)
 
 
@@ -139,6 +148,13 @@ def weather_gated_trials(ev, variants: List[np.ndarray], *,
     aborted = 0
     while len(trials) < max_trials and left() > trial_deadline + 20:
         bw = probe_bw()
+        if bw > 150.0:
+            # readings this fast are usually a send-buffer mirage: the
+            # device_put "completes" into a local buffer (readings up to
+            # 4 GB/s observed), then the link collapses below 1 MB/s
+            # while the backlog drains. Confirm with a second probe and
+            # trust the smaller figure.
+            bw = min(bw, probe_bw())
         probes.append(round(bw, 1))
         # final phase: if gating starved us of trials, run regardless
         must_run = (left() < time_budget * 0.25 and len(trials) < min_trials)

@@ -19,5 +19,6 @@ from rrnet_tpu.ops.nms import hard_nms, soft_nms, batched_nms  # noqa: F401
 from rrnet_tpu.ops.heatmap import peak_nms, topk_decode  # noqa: F401
 from rrnet_tpu.ops.targets import gaussian_radius, render_centernet_targets  # noqa: F401
 from rrnet_tpu.ops.roi_align import roi_align, batched_roi_align  # noqa: F401
-from rrnet_tpu.ops.dcn import deform_conv2d, deform_psroi_pooling  # noqa: F401
+from rrnet_tpu.ops.dcn import (deform_conv2d, deform_conv2d_auto,  # noqa: F401
+                               deform_psroi_pooling)
 from rrnet_tpu.ops.kmeans import kmeans  # noqa: F401

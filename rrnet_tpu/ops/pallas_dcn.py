@@ -46,23 +46,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rrnet_tpu.ops import dcn as _dcn_xla
 
-_VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom under ~16 MB/core
+_VMEM_BUDGET = 15 * 1024 * 1024   # calibrated: the r4 model charged 12 MB
+                                  # but omitted lane_x/fold (below); the
+                                  # eval_768x1408 R=2 case that runs fine on
+                                  # the chip totals ~14.1 MB under this model
 
 
 def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
-    """Largest R in {8,4,2,1} dividing Ho whose working set fits VMEM,
-    0 if even R=1 does not fit. All large buffers (image, weights and
-    the V / x-tent / product intermediates) live in the compute dtype."""
+    """Largest feasible row-chunk R dividing Ho, 0 if none fits VMEM.
+
+    Feasibility = (a) the VMEM working-set model below and (b) Mosaic's
+    block-tiling rule: our offset/mask/out blocks have second-to-last
+    dim P = R*Wo, which must be divisible by 8 (f32 sublane). No
+    full-array exemption: a (1, Ho*Wo, C) block with Ho*Wo % 8 != 0
+    WEDGES the Mosaic compile on this backend (verified 2026-08-21 —
+    same failure mode as while_loop-in-pallas; see the axon rig notes),
+    so non-aligned shapes must fall back to the XLA path.
+    Large buffers: image/weights/V/wx/V*wx in the compute dtype, plus
+    the f32 lane_x iota (the tent inputs are materialized in f32 before
+    the .astype casts) and the (W*cpg, cpg) fold matrix."""
     cpg = cin // g
     fixed = (h * w * cin * itemsize +              # image block
-             kh * kw * cin * cout * itemsize)      # weight block
+             kh * kw * cin * cout * itemsize +     # weight block
+             w * cpg * cpg * itemsize)             # x-group fold matrix
     for r in (8, 4, 2, 1):
         if ho % r:
             continue
         p = r * wo
+        if p % 8:
+            continue                               # Mosaic tiling rule
         per_tap = 3 * p * w * cpg * itemsize       # V, wx, V*wx (compute dtype)
-        acc = p * cout * 4 + p * h * 4             # accumulator + y-tent
-        if fixed + per_tap + acc <= _VMEM_BUDGET:
+        f32_side = p * w * cpg * 4                 # lane_x iota (f32)
+        acc = p * cout * 4 + 2 * p * h * 4         # accumulator + y-tent/iota
+        if fixed + per_tap + f32_side + acc <= _VMEM_BUDGET:
             return r
     return 0
 
@@ -197,10 +213,17 @@ def deform_conv2d_pallas(
     cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
     # pick the row-chunk size from the shared VMEM model (the (P, W*cpg)
-    # f32 intermediates dominate); callers should have checked
-    # fits_vmem(), but degrade to R=1 rather than fail here
+    # intermediates dominate); callers should have checked fits_vmem().
+    # Refuse rather than degrade: an infeasible shape either exceeds
+    # VMEM or violates the %8 tiling rule, and the latter wedges the
+    # Mosaic compile on this backend instead of erroring.
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
-    r_rows = _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) or 1
+    r_rows = _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize)
+    if not r_rows:
+        raise ValueError(
+            f"deform_conv2d_pallas: shape x={x.shape} w={weight.shape} is "
+            "not Pallas-feasible (VMEM or %8 tiling); use fits_vmem() and "
+            "fall back to ops.dcn.deform_conv2d")
 
     # (B, G, H, W*cpg): per-group slices contiguous on lanes
     img = x.astype(cdtype).reshape(b, h, w, g, cpg)

@@ -123,7 +123,9 @@ class Trainer:
 
         ch, cw = self.cfg.train.crop_size
 
-        def step_fn(state: TrainState, images, annos, valid):
+        def value_grads(state: TrainState, images, annos, valid):
+            """Shared forward+backward core: normalized inputs, loss,
+            pmean'd grads, updated BN stats. Runs inside shard_map."""
             # Input transports (all normalized on device):
             #   (B, 1.5*H*W) uint8 — packed YUV 4:2:0 wire rows
             #     (train.transport='yuv420'; half the bytes of RGB)
@@ -147,6 +149,11 @@ class Trainer:
             (total, (new_bs, ld)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             grads = jax.lax.pmean(grads, axis)
+            return total, grads, new_bs, ld
+
+        def step_fn(state: TrainState, images, annos, valid):
+            total, grads, new_bs, ld = value_grads(state, images,
+                                                   annos, valid)
             # Failure containment (the reference catches CUDA OOM and
             # skips the step, rrnet_operator.py:120-126; the analogous
             # TPU hazard is a non-finite loss/grad poisoning the params):
@@ -173,6 +180,29 @@ class Trainer:
             in_specs=(P(), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False)
+
+        # Diagnostic surface: the pmean'd loss/grads WITHOUT applying the
+        # update. This is the quantity the reference's DDP hook
+        # all-reduces (operators/base_operator.py:24) — the 2-process
+        # equivalence test asserts it matches the single-process value
+        # (tests/test_multiprocess_train.py); also useful for gradient-
+        # noise-scale probes.
+        def grads_fn(state, images, annos, valid):
+            total, grads, _, _ = value_grads(state, images, annos, valid)
+            return jax.lax.pmean(total, axis), grads
+
+        sharded_grads = shard_map(
+            grads_fn, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False)
+
+        @jax.jit
+        def loss_and_grads(state, batch):
+            return sharded_grads(state, batch["images"], batch["annos"],
+                                 batch["valid"])
+
+        self.loss_and_grads = loss_and_grads
 
         # Donating the state lets XLA update the f32 master params and
         # both Adam moments in place instead of materializing fresh

@@ -38,12 +38,16 @@ sys.path.insert(0, REPO)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--steps", type=int, default=800,
+                    help="training steps; must be >= 1 (metrics come "
+                         "from the last step)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dir", default="/tmp/rrnet_synth")
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "STAGE2_ABLATION.json"))
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
 
     import jax
     import jax.numpy as jnp

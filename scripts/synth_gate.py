@@ -201,7 +201,11 @@ def main():
         done = {e["family"] for e in entries}
         result["families"] = [e for e in prev.get("families", [])
                               if e["family"] not in done] + entries
-        result["families"].sort(key=lambda e: FAMILIES.index(e["family"]))
+        # tolerate stale artifacts carrying family names no longer in
+        # FAMILIES (sort them to the end instead of raising ValueError)
+        result["families"].sort(
+            key=lambda e: (FAMILIES.index(e["family"])
+                           if e["family"] in FAMILIES else len(FAMILIES)))
 
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

@@ -64,32 +64,45 @@ def test_pallas_stride2():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_fused_grad_matches_xla_grad():
-    """custom-vjp wrapper: Pallas forward, XLA backward — gradients must
-    equal pure-XLA autodiff gradients."""
-    x, wt, off, mask, bias = _make_case(b=1, h=6, w=6, cin=4, cout=4, g=1)
+def test_fused_grad_matches_xla_grad(monkeypatch):
+    """custom-vjp wrapper: jax.grad THROUGH deform_conv2d_fused itself
+    (Pallas forward in interpret mode for the CPU platform, XLA backward)
+    must equal pure-XLA autodiff gradients for every argument."""
+    from functools import partial
+
+    from rrnet_tpu.ops import pallas_dcn
+
+    orig = deform_conv2d_pallas
+    monkeypatch.setattr(pallas_dcn, "deform_conv2d_pallas",
+                        partial(orig, interpret=True))
+
+    x, wt, off, mask, bias = _make_case(b=1, h=8, w=8, cin=4, cout=4, g=1)
 
     def loss_fused(x_, w_, o_, m_, b_):
-        return jnp.sum(deform_conv2d_fused(x_, w_, o_, m_, b_) ** 2)
+        return jnp.sum(pallas_dcn.deform_conv2d_fused(x_, w_, o_, m_, b_) ** 2)
 
     def loss_ref(x_, w_, o_, m_, b_):
         return jnp.sum(deform_conv2d(x_, w_, o_, m_, b_) ** 2)
 
-    # pallas interpret inside custom_vjp forward: monkeypatch not needed —
-    # run on CPU via interpret by calling the pallas fn directly
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, wt, off, mask, bias)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, wt, off, mask, bias)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, wt, off, mask, bias)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
 
-    # re-implement the fused vjp with interpret=True for the CPU platform
-    def loss_fused_interp(x_, w_, o_, m_, b_):
-        out = deform_conv2d_pallas(x_, w_, o_, m_, b_, interpret=True)
-        return jnp.sum(out ** 2)
+    # mask=None / bias=None: the VJP's cotangent structure must carry the
+    # None slots through without error and still match XLA
+    def loss_fused_nm(x_, w_, o_):
+        return jnp.sum(pallas_dcn.deform_conv2d_fused(x_, w_, o_, None, None) ** 2)
 
-    # forward values must agree, so the upstream cotangent is identical and
-    # the XLA-backward wiring in deform_conv2d_fused yields g_ref exactly
-    v_f = loss_fused_interp(x, wt, off, mask, bias)
-    v_r = loss_ref(x, wt, off, mask, bias)
-    np.testing.assert_allclose(float(v_f), float(v_r), rtol=2e-4)
-    assert all(np.all(np.isfinite(np.asarray(g))) for g in g_ref)
+    def loss_ref_nm(x_, w_, o_):
+        return jnp.sum(deform_conv2d(x_, w_, o_, None, None) ** 2)
+
+    g_fn = jax.grad(loss_fused_nm, argnums=(0, 1, 2))(x, wt, off)
+    g_rn = jax.grad(loss_ref_nm, argnums=(0, 1, 2))(x, wt, off)
+    for a, b in zip(g_fn, g_rn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
 
 
 def test_auto_dispatch_cpu_fallback():
@@ -113,3 +126,12 @@ def test_fits_vmem_model():
                          deformable_groups=1, dtype=jnp.bfloat16)
     # channel count not divisible by groups: refuse
     assert not fits_vmem((1, 8, 8, 6), (3, 3, 6, 8), deformable_groups=4)
+    # Mosaic block-tiling rule: P = R*Wo must be %8 — (6,6) has no
+    # feasible R, so auto-dispatch must fall back to XLA rather than
+    # emit a kernel that wedges the Mosaic compile (verified on-rig)
+    assert not fits_vmem((1, 6, 6, 4), (3, 3, 4, 4))
+    with pytest.raises(ValueError):
+        deform_conv2d_pallas(jnp.zeros((1, 6, 6, 4), jnp.float32),
+                             jnp.zeros((3, 3, 4, 4), jnp.float32),
+                             jnp.zeros((1, 6, 6, 18), jnp.float32),
+                             interpret=True)

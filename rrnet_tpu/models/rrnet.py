@@ -132,11 +132,13 @@ class RRNet(nn.Module):
         def select_rois(boxes, scores, classes):
             cls_ids = classes if self.nms_per_class else None
             if self.nms_type == "soft_nms":
-                # Pallas kernel on TPU (single fused program), XLA
-                # fori-loop elsewhere
+                # Pallas kernel on TPU (class-parallel rows kernel when
+                # per-class — one selection per class per iteration),
+                # XLA fori-loop elsewhere
                 from rrnet_tpu.ops.pallas_nms import soft_nms_auto
                 new_scores, keep, _ = soft_nms_auto(
                     boxes, scores, class_ids=cls_ids,
+                    num_classes=self.num_classes,
                     sigma=self.soft_nms_sigma,
                     iou_threshold=self.nms_iou,
                     score_threshold=self.soft_nms_score_threshold,

@@ -275,17 +275,334 @@ def deform_conv2d_pallas(
 
 
 # ---------------------------------------------------------------------------
+# fused backward kernel
+# ---------------------------------------------------------------------------
+#
+# The reference hand-writes three CUDA backward kernels
+# (ext/dcn/src/cuda/dcn_v2_im2col_cuda.cu:56-123: grad-weight via GEMM on
+# the stored im2col buffer, col2im for grad-input, col2im_coord for the
+# offset/mask grads). Here the whole backward is the forward's tent-matmul
+# trick TRANSPOSED, in one VMEM-resident program per row-chunk:
+#
+#   g_sm   = ct @ W[g,t]^T                  (p, cpg)   MXU
+#   g_W   += sm^T @ ct                      (cpg, Cout) MXU, grid-accumulated
+#   g_mask = sum_c(g_sm * s)                lane reduction
+#   g_sv   = (g_s) @ fold^T                 broadcast back over x-groups, MXU
+#   g_v    = g_sv * wx ;  g_wx = g_sv * v   VPU
+#   g_xs   = sum_l(g_wx * tent'(xs-lane))   lane reduction  -> grad offset x
+#   g_img += wy^T @ g_v                     (H, W*cpg) MXU, grid-accumulated
+#   g_wy   = g_v @ img^T                    (p, H) MXU
+#   g_ys   = sum_h(g_wy * tent'(ys-iota))   lane reduction  -> grad offset y
+#
+# tent'(d) = -sign(d) for |d| < 1 else 0 — exactly the lerp-weight
+# gradients XLA autodiff derives through ops/dcn.py (the oracle the tests
+# compare against). The im2col buffer the CUDA version re-reads from HBM
+# is recomputed in VMEM instead (v/s are two tent matmuls — cheaper than
+# an HBM round-trip on TPU).
+#
+# Grid accumulation: TPU grids run sequentially, so outputs whose index
+# map ignores a grid dim are reduction outputs — g_img ignores the
+# row-chunk dim j (zeroed at j==0), g_W ignores both i and j (zeroed at
+# i==j==0). Revisits are consecutive, which Mosaic requires.
+
+
+def _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
+    """Row-chunk picker for the backward kernel. Same %8 tiling rule as
+    the forward (plus h and cpg, which sit in second-to-last block dims
+    of the image/weight/grad blocks); the working set adds the f32
+    grad-image and grad-weight accumulators, the ct block and the
+    g_sv/g_v/g_wx transposed-tent intermediates."""
+    cpg = cin // g
+    if h % 8 or cpg % 8:
+        return 0
+    fixed = (h * w * cin * itemsize +              # image block
+             kh * kw * cin * cout * itemsize +     # weight block
+             w * cpg * cpg * itemsize +            # fold matrix
+             h * w * cin * 4 +                     # grad-image accumulator
+             g * kh * kw * cpg * cout * 4)         # grad-weight accumulator
+    for r in (8, 4, 2, 1):
+        if ho % r:
+            continue
+        p = r * wo
+        if p % 8:
+            continue                               # Mosaic tiling rule
+        per_tap = 6 * p * w * cpg * itemsize       # v/wx/sv + g_sv/g_v/g_wx
+        f32_side = 3 * p * w * cpg * 4             # lane_x, tent', f32 casts
+        acc = p * cout * (itemsize + 4) + 4 * p * h * 4
+        if fixed + per_tap + f32_side + acc <= _VMEM_BUDGET:
+            return r
+    return 0
+
+
+def bwd_fits_vmem(x_shape, w_shape, *, stride=1, padding=1, dilation=1,
+                  deformable_groups=1, dtype=None) -> bool:
+    """Trace-time feasibility check for the fused backward."""
+    b, h, w, cin = x_shape
+    kh, kw, _, cout = w_shape
+    if cin % deformable_groups:
+        return False
+    ho = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    wo = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    if min(b, ho, wo) <= 0:
+        return False
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    return _pick_rows_bwd(ho, wo, h, w, cin, cout, deformable_groups,
+                          kh, kw, itemsize) > 0
+
+
+def _dcn_bwd_kernel(img_ref, off_ref, mask_ref, w_ref, ct_ref,
+                    gimg_ref, goff_ref, gmask_ref, gw_ref, *,
+                    stride, padding, dilation, g, kh, kw, r_rows, wo, h, w,
+                    cpg, cout, has_mask, cdtype):
+    """One program: all backward quantities for r_rows output rows.
+
+    Ref shapes mirror the forward kernel's, plus:
+    ct_ref:    (1, P, Cout)        f32 upstream cotangent
+    gimg_ref:  (1, G, H, W*cpg)    f32, accumulated over the j grid dim
+    goff_ref:  (1, P, G*2*kk)      f32  [y cols | x cols], (g, tap) order
+    gmask_ref: (1, P, G*kk)        f32  (zeros when has_mask=False)
+    gw_ref:    (G, kk, cpg, Cout)  f32, accumulated over the whole grid
+    """
+    kk = kh * kw
+    p = r_rows * wo
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = j * r_rows
+
+    @pl.when(j == 0)
+    def _zero_gimg():
+        for gi in range(g):                      # 2D writes only (Mosaic)
+            gimg_ref[0, gi] = jnp.zeros((h, w * cpg), jnp.float32)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_gw():
+        for gi in range(g):
+            for t in range(kk):
+                gw_ref[gi, t] = jnp.zeros((cpg, cout), jnp.float32)
+
+    off = off_ref[0].astype(jnp.float32)
+    msk = mask_ref[0].astype(jnp.float32)
+    ct = ct_ref[0].astype(cdtype)                    # (p, Cout)
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    out_y = row0 + local // wo
+    out_x = local % wo
+    py = out_y.astype(jnp.float32) * stride - padding
+    px = out_x.astype(jnp.float32) * stride - padding
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1).astype(jnp.float32)
+    lane_x = (jax.lax.broadcasted_iota(
+        jnp.int32, (p, w * cpg), 1) // cpg).astype(jnp.float32)
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (w * cpg, cpg), 0) % cpg ==
+            jax.lax.broadcasted_iota(jnp.int32, (w * cpg, cpg), 1)
+            ).astype(cdtype)
+
+    def tent_deriv(d):
+        return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+
+    goff_y = []
+    goff_x = []
+    gmask_cols = []
+    for gi in range(g):
+        img_g = img_ref[0, gi]                       # (H, W*cpg)
+        gimg_acc = jnp.zeros((h, w * cpg), jnp.float32)
+        for t in range(kk):
+            ky = (t // kw) * dilation
+            kx = (t % kw) * dilation
+            ys = py + ky + off[:, gi * kk + t][:, None]
+            xs = px + kx + off[:, g * kk + gi * kk + t][:, None]
+
+            # ---- recompute the forward sampling chain in VMEM ----
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iota_h))    # (p, H)
+            wy_c = wy.astype(cdtype)
+            v = jax.lax.dot_general(
+                wy_c, img_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ).astype(cdtype)                                     # (p, W*cpg)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - lane_x))
+            wx_c = wx.astype(cdtype)
+            sv = v * wx_c
+            s = jax.lax.dot_general(
+                sv, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (p, cpg)
+
+            # ---- transposed chain ----
+            g_sm = jax.lax.dot_general(
+                ct, w_ref[gi, t], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (p, cpg)
+            if has_mask:
+                m_col = msk[:, gi * kk + t][:, None]             # (p, 1)
+                sm = s * m_col
+                gmask_cols.append(jnp.sum(g_sm * s, axis=1, keepdims=True))
+                g_s = g_sm * m_col
+            else:
+                sm = s
+                g_s = g_sm
+
+            # grad-weight: sm^T @ ct, accumulated across the grid
+            gw_ref[gi, t] = gw_ref[gi, t] + jax.lax.dot_general(
+                sm.astype(cdtype), ct, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (cpg, Cout)
+
+            # broadcast g_s back over the x-groups (fold transposed).
+            # NOTE: a W-way lane concat would express this as pure data
+            # movement, but Mosaic materializes each pairwise concat
+            # temporary (measured 28 MB scoped VMEM vs 13 MB with the
+            # matmul at train_512) — the MXU matmul is the cheaper form.
+            g_sv = jax.lax.dot_general(
+                g_s.astype(cdtype), fold, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ).astype(cdtype)                                     # (p, W*cpg)
+            g_v = g_sv * wx_c
+            g_wx = (g_sv * v).astype(jnp.float32)
+
+            g_xs = jnp.sum(g_wx * tent_deriv(xs - lane_x),
+                           axis=1, keepdims=True)                # (p, 1)
+
+            gimg_acc += jax.lax.dot_general(
+                wy_c, g_v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (H, W*cpg)
+
+            g_wy = jax.lax.dot_general(
+                g_v, img_g, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (p, H)
+            g_ys = jnp.sum(g_wy * tent_deriv(ys - iota_h),
+                           axis=1, keepdims=True)                # (p, 1)
+
+            goff_y.append(g_ys)
+            goff_x.append(g_xs)
+        gimg_ref[0, gi] = gimg_ref[0, gi] + gimg_acc
+
+    goff_ref[0] = jnp.concatenate(goff_y + goff_x, axis=1)
+    if has_mask:
+        gmask_ref[0] = jnp.concatenate(gmask_cols, axis=1)
+    else:
+        gmask_ref[0] = jnp.zeros_like(gmask_ref[0])
+
+
+@partial(jax.jit, static_argnames=("stride", "padding", "dilation",
+                                   "deformable_groups", "interpret"))
+def deform_conv2d_pallas_bwd(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    ct: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    deformable_groups: int = 1,
+    interpret: bool = False,
+):
+    """Fused backward: returns (grad_x, grad_weight, grad_offset,
+    grad_mask) for upstream cotangent ct of shape (B, Ho, Wo, Cout).
+    grad_mask is None when mask is None. grad_bias (a plain sum over ct)
+    is the caller's one-liner."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    g = deformable_groups
+    kk = kh * kw
+    cpg = cin // g
+    assert cin % g == 0
+
+    ho = (h + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    wo = (w + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+
+    cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    itemsize = 2 if cdtype == jnp.bfloat16 else 4
+    r_rows = _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize)
+    if not r_rows:
+        raise ValueError(
+            f"deform_conv2d_pallas_bwd: shape x={x.shape} w={weight.shape} "
+            "is not Pallas-feasible; use bwd_fits_vmem() and fall back to "
+            "the XLA autodiff backward")
+
+    img = x.astype(cdtype).reshape(b, h, w, g, cpg)
+    img = img.transpose(0, 3, 1, 2, 4).reshape(b, g, h, w * cpg)
+    wmat = weight.astype(cdtype).reshape(kh * kw, g, cpg, cout)
+    wmat = wmat.transpose(1, 0, 2, 3)
+    if mask is None:
+        mask_arr = jnp.ones((b, ho, wo, g * kk), jnp.float32)
+        has_mask = False
+    else:
+        mask_arr = mask.astype(jnp.float32)
+        has_mask = True
+
+    kernel = partial(_dcn_bwd_kernel, stride=stride, padding=padding,
+                     dilation=dilation, g=g, kh=kh, kw=kw, r_rows=r_rows,
+                     wo=wo, h=h, w=w, cpg=cpg, cout=cout,
+                     has_mask=has_mask, cdtype=cdtype)
+
+    p = r_rows * wo
+    off_flat = offset.astype(jnp.float32).reshape(b, ho * wo, g * 2 * kk)
+    mask_flat = mask_arr.reshape(b, ho * wo, g * kk)
+    ct_flat = ct.astype(jnp.float32).reshape(b, ho * wo, cout)
+
+    gimg, goff, gmask, gw = pl.pallas_call(
+        kernel,
+        grid=(b, ho // r_rows),
+        in_specs=[
+            pl.BlockSpec((1, g, h, w * cpg), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, g * 2 * kk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, g * kk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kk, cpg, cout), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, cout), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, h, w * cpg), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, g * 2 * kk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, g * kk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kk, cpg, cout), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, g, h, w * cpg), jnp.float32),
+            jax.ShapeDtypeStruct((b, ho * wo, g * 2 * kk), jnp.float32),
+            jax.ShapeDtypeStruct((b, ho * wo, g * kk), jnp.float32),
+            jax.ShapeDtypeStruct((g, kk, cpg, cout), jnp.float32),
+        ],
+        interpret=interpret,
+    )(img, off_flat, mask_flat, wmat, ct_flat)
+
+    grad_x = gimg.reshape(b, g, h, w, cpg).transpose(0, 2, 3, 1, 4)
+    grad_x = grad_x.reshape(b, h, w, cin).astype(x.dtype)
+    grad_w = gw.transpose(1, 0, 2, 3).reshape(kh, kw, cin, cout)
+    grad_w = grad_w.astype(weight.dtype)
+    grad_off = goff.reshape(b, ho, wo, g * 2 * kk).astype(offset.dtype)
+    grad_mask = (gmask.reshape(b, ho, wo, g * kk).astype(mask.dtype)
+                 if mask is not None else None)
+    return grad_x, grad_w, grad_off, grad_mask
+
+
+# ---------------------------------------------------------------------------
 # custom-vjp wrapper: Pallas forward, XLA-autodiff backward
 # ---------------------------------------------------------------------------
+
+# Backward dispatch override, for tests: "auto" picks the fused Pallas
+# backward on TPU when it fits VMEM (else XLA autodiff); "xla" forces the
+# XLA backward; "interpret" forces the Pallas backward in interpret mode
+# (runnable on the CPU test platform).
+_BWD_MODE = "auto"
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def deform_conv2d_fused(x, weight, offset, mask, bias,
                         stride=1, padding=1, dilation=1,
                         deformable_groups=1):
-    """deform_conv2d with the fused Pallas forward and the XLA
-    gather+einsum backward (the gradients autodiff derives there are the
-    same lerp-weight gradients dcn_v2_im2col_cuda.cu:56-123 hand-codes).
-    Call through ops.dcn-style keyword args; mask/bias may be None."""
+    """deform_conv2d with the fused Pallas forward and, when feasible,
+    the fused Pallas backward (the transposed tent-matmul program above —
+    the same lerp-weight gradients dcn_v2_im2col_cuda.cu:56-123
+    hand-codes); infeasible shapes or non-TPU backends fall back to XLA
+    autodiff through ops.dcn. Call through ops.dcn-style keyword args;
+    mask/bias may be None."""
     return deform_conv2d_pallas(
         x, weight, offset, mask, bias, stride=stride, padding=padding,
         dilation=dilation, deformable_groups=deformable_groups)
@@ -302,6 +619,25 @@ def _fused_fwd(x, weight, offset, mask, bias,
 def _fused_bwd(stride, padding, dilation, deformable_groups,
                residuals, ct):
     x, weight, offset, mask, bias = residuals
+    ct = ct.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+    # deformable_groups == 1 stays on the XLA backward: with one group
+    # the gather+einsum autodiff already vectorizes well and beats the
+    # fused kernel (DCN_BENCH g1_512: 2.84 ms XLA vs 4.93 ms fused)
+    use_pallas = _BWD_MODE == "interpret" or (
+        _BWD_MODE == "auto" and jax.default_backend() == "tpu" and
+        deformable_groups > 1 and
+        bwd_fits_vmem(x.shape, weight.shape, stride=stride, padding=padding,
+                      dilation=dilation, deformable_groups=deformable_groups,
+                      dtype=x.dtype))
+    if use_pallas:
+        gx, gw, goff, gmask = deform_conv2d_pallas_bwd(
+            x, weight, offset, mask, ct, stride=stride, padding=padding,
+            dilation=dilation, deformable_groups=deformable_groups,
+            interpret=_BWD_MODE == "interpret")
+        gbias = (jnp.sum(ct, axis=(0, 1, 2)).astype(bias.dtype)
+                 if bias is not None else None)
+        return gx, gw, goff, gmask, gbias
 
     def ref(x_, w_, o_, m_, b_):
         return _dcn_xla.deform_conv2d(
@@ -309,7 +645,7 @@ def _fused_bwd(stride, padding, dilation, deformable_groups,
             dilation=dilation, deformable_groups=deformable_groups)
 
     _, vjp = jax.vjp(ref, x, weight, offset, mask, bias)
-    return vjp(ct.astype(jnp.promote_types(x.dtype, jnp.float32)))
+    return vjp(ct)
 
 
 deform_conv2d_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -77,6 +77,11 @@ def bench_case(name: str, b: int, h: int, w: int, c: int, g: int,
 
     grad = jax.jit(jax.grad(loss, argnums=(1, 2, 3)))
     t_bwd = _time_chained(grad, (x, wgt, off, msk), steps)
+    # full training basis: input gradients included (what trident-deform
+    # actually needs — the XLA grad_x is a scatter-add col2im and
+    # dominates)
+    grad_all = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    t_bwd_all = _time_chained(grad_all, (x, wgt, off, msk), steps)
 
     conv = jax.jit(lambda x, wgt: jax.lax.conv_general_dilated(
         x, wgt, (1, 1), [(dilation, dilation)] * 2,
@@ -98,6 +103,26 @@ def bench_case(name: str, b: int, h: int, w: int, c: int, g: int,
         print(f"# pallas skipped for {name}: {type(e).__name__}: "
               f"{str(e)[:200]}", file=sys.stderr)
 
+    # fused custom-vjp train step: Pallas forward + fused Pallas backward
+    # (transposed tent-matmul program) when bwd_fits_vmem, else XLA bwd
+    t_fused_train = None
+    try:
+        from rrnet_tpu.ops.pallas_dcn import bwd_fits_vmem, deform_conv2d_fused
+        if bwd_fits_vmem(x.shape, wgt.shape, padding=dilation,
+                         dilation=dilation, deformable_groups=g,
+                         dtype=dtype):
+            def loss_fused(x, wgt, off, msk):
+                return jnp.sum(deform_conv2d_fused(
+                    x, wgt, off.astype(jnp.float32), msk.astype(jnp.float32),
+                    None, 1, dilation, dilation, g).astype(jnp.float32))
+
+            grad_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3)))
+            t_fused_train = _time_chained(grad_fused, (x, wgt, off, msk),
+                                          steps)
+    except Exception as e:  # pragma: no cover
+        print(f"# fused bwd skipped for {name}: {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+
     flops = 2 * b * h * w * kk * c * c
     extra = {}
     if t_pallas is not None:
@@ -106,6 +131,10 @@ def bench_case(name: str, b: int, h: int, w: int, c: int, g: int,
             "pallas_vs_xla": round(t_fwd / max(t_pallas, 1e-9), 2),
             "pallas_fwd_tflops": round(flops / t_pallas / 1e12, 1),
         }
+    if t_fused_train is not None:
+        extra["pallas_fwd_bwd_ms"] = round(t_fused_train * 1e3, 2)
+        extra["pallas_fwd_bwd_vs_xla"] = round(
+            t_bwd_all / max(t_fused_train, 1e-9), 2)
     return {
         **extra,
         "case": name,
@@ -115,6 +144,7 @@ def bench_case(name: str, b: int, h: int, w: int, c: int, g: int,
         "dtype": dtype_name,
         "fwd_ms": round(t_fwd * 1e3, 2),
         "fwd_bwd_ms": round(t_bwd * 1e3, 2),
+        "fwd_bwd_all_ms": round(t_bwd_all * 1e3, 2),
         "plain_conv_ms": round(t_conv * 1e3, 2),
         "fwd_vs_conv": round(t_fwd / max(t_conv, 1e-9), 1),
         "fwd_tflops": round(flops / t_fwd / 1e12, 1),

@@ -88,7 +88,8 @@ def main():
 
     from rrnet_tpu.evallib import host_nms
     from rrnet_tpu.ops.nms import hard_nms, soft_nms
-    from rrnet_tpu.ops.pallas_nms import soft_nms_pallas
+    from rrnet_tpu.ops.pallas_nms import (soft_nms_pallas,
+                                          soft_nms_pallas_classes)
 
     k = args.k
     boxes_np, scores_np, classes_np = make_dets(k)
@@ -104,6 +105,9 @@ def main():
     xla = jax.jit(lambda b, s, c: soft_nms(b, s, class_ids=c, **kw))
     pallas = jax.jit(
         lambda b, s, c: soft_nms_pallas(b, s, class_ids=c, **kw))
+    pallas_cp = jax.jit(
+        lambda b, s, c: soft_nms_pallas_classes(b, s, class_ids=c,
+                                                num_classes=10, **kw))
 
     # correctness cross-check before timing. Keep sets must agree; ranks
     # may swap only at near-ties (the VPU exp() in the kernel rounds
@@ -121,6 +125,13 @@ def main():
         print(f"# {int(swapped.sum())} near-tie rank swaps", file=sys.stderr)
     np.testing.assert_allclose(sc_x[keep_x], sc_p[keep_p], rtol=1e-3,
                                atol=1e-5)
+    t0 = time.time()
+    sc_c, keep_c, rank_c = [np.asarray(v) for v in
+                            pallas_cp(boxes, scores, classes)]
+    cp_compile_s = time.time() - t0
+    assert (keep_x == keep_c).all(), "class-parallel/XLA keep mismatch"
+    np.testing.assert_allclose(sc_x[keep_x], sc_c[keep_c], rtol=1e-3,
+                               atol=1e-5)
 
     def host_call():
         # the reference protocol: one Cython call per class
@@ -133,7 +144,26 @@ def main():
 
     t_xla = time_device(xla, (boxes, scores, classes), args.steps)
     t_pallas = time_device(pallas, (boxes, scores, classes), args.steps)
+    t_cp = time_device(pallas_cp, (boxes, scores, classes), args.steps)
     t_host = time_host(host_call, max(args.steps, 20))
+
+    # production basis: single-dispatch timings above sit on the ~3 ms
+    # RPC pipeline floor of this rig; inside the model the kernel runs
+    # vmapped over the batch in one big jitted program, so the
+    # per-image vmap cost is the number that matters
+    B = 8
+    bb = jnp.asarray(np.stack([boxes_np] * B))
+    sb = jnp.asarray(np.stack([scores_np] * B))
+    cb = jnp.asarray(np.stack([classes_np] * B))
+    serial_v = jax.jit(lambda b, s, c: jax.vmap(
+        lambda b1, s1, c1: soft_nms_pallas(
+            b1, s1, class_ids=c1, max_out=512, **kw))(b, s, c))
+    cp_v = jax.jit(lambda b, s, c: jax.vmap(
+        lambda b1, s1, c1: soft_nms_pallas_classes(
+            b1, s1, class_ids=c1, num_classes=10, max_out=512,
+            **kw))(b, s, c))
+    t_serial_v = time_device(serial_v, (bb, sb, cb), args.steps)
+    t_cp_v = time_device(cp_v, (bb, sb, cb), args.steps)
 
     hard = jax.jit(lambda b, s, c: hard_nms(b, s, 0.7, class_ids=c))
     t_hard = time_device(hard, (boxes, scores, classes), args.steps)
@@ -147,17 +177,32 @@ def main():
         "soft_nms_ms": {
             "xla_fori_loop": round(t_xla * 1e3, 3),
             "pallas_vmem_kernel": round(t_pallas * 1e3, 3),
+            "pallas_class_parallel": round(t_cp * 1e3, 3),
             "host_cpp_ctypes": round(t_host * 1e3, 3),
+        },
+        "soft_nms_vmap8_ms_per_img": {
+            "serial_chunked": round(t_serial_v / B * 1e3, 3),
+            "class_parallel": round(t_cp_v / B * 1e3, 3),
         },
         "pallas_speedup_vs_xla": round(t_xla / t_pallas, 2),
         "pallas_speedup_vs_host": round(t_host / t_pallas, 2),
+        "serial_vmap_vs_host_per_img": round(t_host / (t_serial_v / B), 2),
+        "class_parallel_speedup_vs_serial": round(t_pallas / t_cp, 2),
+        "class_parallel_compile_s": round(cp_compile_s, 1),
         "hard_nms_fixpoint_ms": round(t_hard * 1e3, 3),
         "kept_boxes": int(keep_x.sum()),
         "note": "host C++ wall-clock excludes the device->host->device "
                 "round trip (2x ~5ms RPC + transfer + pipeline stall) "
                 "that using it inside RRNet's device loop would cost; "
                 "the Pallas kernel keeps stage-1 NMS -> stage-2 ROI "
-                "align entirely on device.",
+                "align entirely on device. Single-dispatch device "
+                "timings sit on this rig's ~3 ms RPC pipeline floor — "
+                "the vmap8 per-image numbers are the in-model cost "
+                "(serial_chunked beats the single-core host C++ there). "
+                "class_parallel loses at this shape: exact per-class "
+                "capacity must be K, making its per-iteration tile "
+                "~16x larger (throughput-bound) — kept for workloads "
+                "with a tight static class capacity.",
     }
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

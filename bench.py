@@ -82,6 +82,9 @@ def main():
         "value": median,
         "unit": "img/s",
         "vs_baseline": round(median / BASELINE_IMG_PER_SEC, 3),
+        "best5_vs_baseline": round(
+            stats["best5_window_median_img_per_sec"] / BASELINE_IMG_PER_SEC,
+            3),
         **stats,
     }
     print(f"# single-scale @ {VAL_H}x{VAL_W} (bucket {staged0.bucket}): "

@@ -212,7 +212,16 @@ class Evaluator:
             else:
                 x = flat.reshape(n, th, tw, 3).astype(jnp.float32) / 255.0
             if (th, tw) != (bh, bw):
-                x = jnp.pad(x, ((0, 0), (0, bh - th), (0, bw - tw), (0, 0)))
+                # edge-replicate, not zero: at protocol scales > 1 the
+                # bilinear resize below samples ~1 px past the tight
+                # extent, and a zero (-mean/std after normalize) band
+                # would bleed into the valid boundary pixels — edge
+                # padding reproduces exactly the clamped samples a
+                # tight-image resize (the reference protocol,
+                # operators/rrnet_operator.py:260) would take; the pad
+                # band itself is suppressed by decode-extent masking
+                x = jnp.pad(x, ((0, 0), (0, bh - th), (0, bw - tw), (0, 0)),
+                            mode="edge")
             x = (x - mean) / std
             if scaled != bucket:
                 x = jax.image.resize(
@@ -476,10 +485,14 @@ class Evaluator:
             if im.dtype != np.uint8:
                 im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
             padded[i, :im.shape[0], :im.shape[1]] = im
+            # edge-replicate (matches the device tight->bucket pad): a
+            # zero band here would bleed -mean/std into the valid
+            # boundary through the scale>1 bilinear resize
             if im.shape[0] < th:
-                padded[i, im.shape[0]:] = 0
+                padded[i, im.shape[0]:] = padded[i, im.shape[0] - 1]
             if im.shape[1] < tw:
-                padded[i, :, im.shape[1]:] = 0
+                padded[i, :, im.shape[1]:] = \
+                    padded[i, :, im.shape[1] - 1][:, None]
         if self.transport == "yuv420":
             # planar I420 written directly into the wire rows (dst=)
             flat = pack_yuv420(padded)       # (B, 1.5*H*W) per-image rows

@@ -19,9 +19,10 @@ Family-specific gate criteria:
     only, and zero-delta (identity under the +1-extent convention).
     All three AP rows are recorded; see the per-entry note for why the
     easy synthetic regime makes stage-2 gains negative here.
-  * centernet — optional --int8-delta re-evaluates the same weights
+  * all families — optional --int8-delta re-evaluates the same weights
     under PTQ int8 and records the AP delta (the accuracy cost paired
-    with INT8_BENCH.json's throughput ceiling).
+    with INT8_BENCH.json's throughput ceiling); the rrnet row gates the
+    stage-2 head's sensitivity to quantized backbone features.
 
 Reference contract being exercised end-to-end: the train->eval->
 evaluate_results loop (scripts/RRNet/eval.py:12-18, utils/metrics/
@@ -149,8 +150,14 @@ def run_family(family: str, args) -> dict:
             "Mechanism analysis: PERF.md 'RRNet stage-2 on easy data'. "
             "Regression use: track all three decode variants.")
 
-    if args.int8_delta and family == "centernet":
-        s8 = eval_ap("centernet_int8", quantize="int8")
+    if args.int8_delta:
+        # every family: quantization is a trace-time Conv2d mode
+        # (models/layers.py quant_context), so the rrnet stage-2 trunk
+        # and the retinanet FPN/towers quantize through the same
+        # machinery; the rrnet row is the interesting one — its stage-2
+        # regression consumes backbone features that int8 perturbs
+        # (r4 verdict gap: the delta was only gated for centernet)
+        s8 = eval_ap(f"{family}_int8", quantize="int8")
         s8["AP_delta_vs_bf16"] = round(s8["AP"] - entry["AP"], 4)
         entry["int8"] = s8
 
@@ -166,7 +173,7 @@ def main():
     ap.add_argument("--dir", default="/tmp/rrnet_synth")
     ap.add_argument("--out", default=os.path.join(REPO, "SYNTH_AP.json"))
     ap.add_argument("--int8-delta", action="store_true",
-                    help="additionally eval centernet with quantize="
+                    help="additionally eval each family with quantize="
                          "'int8' and record the AP delta")
     ap.add_argument("--update", action="store_true",
                     help="merge into an existing --out instead of "

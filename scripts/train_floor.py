@@ -115,6 +115,49 @@ def main():
                  for c, ns in cats.most_common()}
     n_ops = sum(cnt for _, (_, cnt) in agg.items()) // args.steps
 
+    # --- component bounds (r4 verdict item 5): bound each non-conv ----
+    # component by measuring it STANDALONE (pessimistic: in-step these
+    # fuse into and overlap with the conv pipeline, so the sum of these
+    # bounds >= their true in-step cost). What remains of the
+    # (measured - conv_floor) gap after subtracting the bounds is conv
+    # pipeline scheduling (VMEM prefetch copy-dones) — not an op any
+    # restructuring can remove at the XLA level.
+    import jax.numpy as jnp
+    from rrnet_tpu.train import criterions
+
+    b0 = batches[0]
+
+    def wall(fn, *fargs, n=30):
+        out = fn(*fargs)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*fargs)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)
+        return (time.time() - t0) / n * 1e3
+
+    s = cfg.train.scale_factor
+    feat = (args.size // s, args.size // s)
+    renderer = jax.jit(lambda a, v: criterions.centernet_targets(
+        a, v, feat, s, cfg.num_classes))
+    t_render = wall(renderer, b0["annos"], b0["valid"])
+
+    grads_ms = wall(lambda st, bb: trainer.loss_and_grads(st, bb),
+                    state, b0, n=10)
+
+    # optimizer-only: fused Adam over the full tree with fixed grads
+    _, g0 = trainer.loss_and_grads(state, b0)
+    opt_step = jax.jit(
+        lambda st, g: st.apply_gradients(g, good=jnp.float32(1.0)))
+    t_opt = wall(opt_step, state, g0, n=10)
+
+    component_bounds = {
+        "target_renderer_standalone_ms": round(t_render, 2),
+        "loss_and_grads_ms": round(grads_ms, 1),
+        "fused_adam_standalone_ms": round(t_opt, 2),
+        "full_step_minus_grads_ms": round(wall_ms - grads_ms, 1),
+    }
+
     result = {
         "protocol": f"{args.family} batch {args.batch} @ {args.size}^2, "
                     "one donated jitted SPMD train step (fwd + bwd + "
@@ -132,6 +175,7 @@ def main():
         "measured_wall_ms_per_step": round(wall_ms, 1),
         "pct_of_roofline": round(100.0 * floor_ms / device_ms, 1),
         "device_time_breakdown_ms": breakdown,
+        "component_bounds_ms": component_bounds,
         "ops_per_step": int(n_ops),
         "note": ("the step is bound by the larger floor; the gap to it "
                  "is the small-op tail (scheduler overhead of ~15k ops: "

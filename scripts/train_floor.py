@@ -178,10 +178,14 @@ def main():
         "component_bounds_ms": component_bounds,
         "ops_per_step": int(n_ops),
         "note": ("the step is bound by the larger floor; the gap to it "
-                 "is the small-op tail (scheduler overhead of ~15k ops: "
-                 "VMEM prefetch copy-dones, BN-stat chains, renderer) "
-                 "measured in the breakdown — PERF.md 'Train step "
-                 "(round 3)' has the per-fusion detail"),
+                 "decomposes (component_bounds_ms): optimizer marginal "
+                 "= wall - loss_and_grads (bandwidth floor on the "
+                 "f32 param+moment traffic), renderer/loss bounded by "
+                 "their standalone walls (dispatch-inflated upper "
+                 "bounds), remainder = conv-pipeline scheduling (VMEM "
+                 "prefetch copy-dones in the breakdown) — PERF.md "
+                 "'Train step tail' (round 5) argues why ~85-90 ms is "
+                 "the practical floor of this arithmetic"),
     }
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

@@ -117,6 +117,23 @@ def main():
                   f"{median / BASELINE_IMG_PER_SEC:.2f}x baseline "
                   f"({stats['aborted_trials']} aborted)", file=sys.stderr)
 
+        if nms_type == "nms":
+            # int8 PTQ ceiling for the flagship (auto-calibrated on the
+            # first dispatched batch; AP delta gated in SYNTH_AP.json's
+            # rrnet int8 row). Never allowed to fail the bench.
+            try:
+                ev8 = Evaluator(cfg, variables, model=model,
+                                quantize="int8")
+                ceil8 = compute_ceiling(ev8, ev8._upload(variants), batch)
+                entry["int8_ceiling_img_per_sec"] = round(ceil8, 3)
+                entry["int8_ceiling_vs_baseline"] = round(
+                    ceil8 / BASELINE_IMG_PER_SEC, 3)
+                print(f"# {label}: int8 ceiling {ceil8:.2f} img/s "
+                      f"({ceil8 / BASELINE_IMG_PER_SEC:.2f}x)",
+                      file=sys.stderr)
+            except Exception as e:  # pragma: no cover - defensive
+                entry["int8_ceiling_error"] = f"{type(e).__name__}: {e}"
+
         result["variants"][label] = entry
 
     print(json.dumps(result, indent=1))

@@ -145,7 +145,9 @@ def weather_gated_trials(ev, variants: List[np.ndarray], *,
     # most ~seconds. Aborts are all reported.
     trial_deadline = n / (abort_rate * baseline)
     trials: List[float] = []
-    aborted = 0
+    trial_epochs: List[int] = []   # weather-window id per completed trial:
+    epoch = 0                      # bumped on every abort or gating sleep,
+    aborted = 0                    # so equal epochs == no breaker between
     cap = max_trials
     while len(trials) < cap and left() > trial_deadline + 20:
         bw = probe_bw()
@@ -160,17 +162,20 @@ def weather_gated_trials(ev, variants: List[np.ndarray], *,
         # final phase: if gating starved us of trials, run regardless
         must_run = (left() < time_budget * 0.25 and len(trials) < min_trials)
         if bw < gate_now() and not must_run:
+            epoch += 1
             time.sleep(8)
             continue
         elapsed = run_pipeline(trial_deadline)
         if elapsed is None:
             aborted += 1
+            epoch += 1
             print(f"# trial aborted at {trial_deadline:.0f}s deadline "
                   f"(window collapsed; probe was {bw:.0f} MB/s)",
                   file=sys.stderr)
             continue
         rate = n / elapsed
         trials.append(round(rate, 3))
+        trial_epochs.append(epoch)
         print(f"# trial {len(trials)}: {n} imgs in {elapsed:.2f}s = "
               f"{rate:.2f} img/s "
               f"({batch_mb * n_batches / elapsed:.0f} MB/s sustained, "
@@ -195,17 +200,24 @@ def weather_gated_trials(ev, variants: List[np.ndarray], *,
         fallback = True
         elapsed = run_pipeline(time_budget)
         trials.append(round(n / max(elapsed or time_budget, 1e-9), 3))
+        trial_epochs.append(epoch)
 
     ordered = sorted(trials)
     median = ordered[len(ordered) // 2] if len(ordered) % 2 else float(
         np.mean(ordered[len(ordered) // 2 - 1:len(ordered) // 2 + 1]))
 
-    # best consecutive-5 window (completion order): trials inside one
-    # weather window share transport conditions, so this is the
-    # sustained figure a congestion-free host would see
+    # best consecutive-5 window: trials inside one weather window share
+    # transport conditions, so this is the sustained figure a
+    # congestion-free host would see. "One window" requires no abort
+    # and no gating sleep between the trials (equal epoch ids) — a
+    # best-5 stitched across breakers would mix disjoint weather.
     win = min(5, len(trials))
-    best5 = max(float(np.median(trials[i:i + win]))
-                for i in range(len(trials) - win + 1))
+    windows = [i for i in range(len(trials) - win + 1)
+               if trial_epochs[i] == trial_epochs[i + win - 1]]
+    contiguous = bool(windows)
+    if not windows:                # heavy weather: fall back, flagged
+        windows = list(range(len(trials) - win + 1))
+    best5 = max(float(np.median(trials[i:i + win])) for i in windows)
 
     uploader.shutdown(wait=False)
     return {
@@ -214,6 +226,7 @@ def weather_gated_trials(ev, variants: List[np.ndarray], *,
         "trial_img_per_sec": trials,
         "best_trial_img_per_sec": max(trials),
         "best5_window_median_img_per_sec": round(best5, 3),
+        "best5_window_contiguous": contiguous,
         "aborted_trials": aborted,
         "trial_deadline_s": round(trial_deadline, 1),
         "fallback_unbounded_trial": fallback,

@@ -52,7 +52,8 @@ _VMEM_BUDGET = 15 * 1024 * 1024   # calibrated: the r4 model charged 12 MB
                                   # the chip totals ~14.1 MB under this model
 
 
-def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
+def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize,
+               require_tiling=True) -> int:
     """Largest feasible row-chunk R dividing Ho, 0 if none fits VMEM.
 
     Feasibility = (a) the VMEM working-set model below and (b) Mosaic's
@@ -66,6 +67,12 @@ def _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
     the f32 lane_x iota (the tent inputs are materialized in f32 before
     the .astype casts) and the (W*cpg, cpg) fold matrix."""
     cpg = cin // g
+    if require_tiling and (h % 8 or cpg % 8):
+        return 0       # img block (1,g,H,W*cpg) / weight block
+                       # (g,kk,cpg,cout): second-to-last dims must be %8
+                       # — the same Mosaic rule enforced for P below and
+                       # for the backward in _pick_rows_bwd; interpret
+                       # mode (CPU tests) has no tiling constraint
     fixed = (h * w * cin * itemsize +              # image block
              kh * kw * cin * cout * itemsize +     # weight block
              w * cpg * cpg * itemsize)             # x-group fold matrix
@@ -218,7 +225,8 @@ def deform_conv2d_pallas(
     # VMEM or violates the %8 tiling rule, and the latter wedges the
     # Mosaic compile on this backend instead of erroring.
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
-    r_rows = _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize)
+    r_rows = _pick_rows(ho, wo, h, w, cin, cout, g, kh, kw, itemsize,
+                        require_tiling=not interpret)
     if not r_rows:
         raise ValueError(
             f"deform_conv2d_pallas: shape x={x.shape} w={weight.shape} is "
@@ -306,14 +314,15 @@ def deform_conv2d_pallas(
 # i==j==0). Revisits are consecutive, which Mosaic requires.
 
 
-def _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
+def _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize,
+                   require_tiling=True) -> int:
     """Row-chunk picker for the backward kernel. Same %8 tiling rule as
     the forward (plus h and cpg, which sit in second-to-last block dims
     of the image/weight/grad blocks); the working set adds the f32
     grad-image and grad-weight accumulators, the ct block and the
     g_sv/g_v/g_wx transposed-tent intermediates."""
     cpg = cin // g
-    if h % 8 or cpg % 8:
+    if require_tiling and (h % 8 or cpg % 8):
         return 0
     fixed = (h * w * cin * itemsize +              # image block
              kh * kw * cin * cout * itemsize +     # weight block
@@ -329,14 +338,28 @@ def _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize) -> int:
         per_tap = 6 * p * w * cpg * itemsize       # v/wx/sv + g_sv/g_v/g_wx
         f32_side = 3 * p * w * cpg * 4             # lane_x, tent', f32 casts
         acc = p * cout * (itemsize + 4) + 4 * p * h * 4
-        if fixed + per_tap + f32_side + acc <= _VMEM_BUDGET:
+        need = fixed + per_tap + f32_side + acc
+        if itemsize == 4:
+            # calibrated on-chip 2026-08-21: an all-f32 chain keeps far
+            # more of the unrolled g*kk temporaries live than this model
+            # counts — (2,32,32,256) g=4 f32 measured 27.14 MB scoped
+            # VMEM vs 12.2 MB predicted (r=2). 2.25x reproduces that
+            # point (27.5 MB -> rejected, falls back to XLA autodiff)
+            # while the small f32 selftest case stays accepted
+            # (CHIP_SELFTEST small_g2_f32 runs at ~6.6 MB modeled).
+            need = int(need * 2.25)
+        if need <= _VMEM_BUDGET:
             return r
     return 0
 
 
 def bwd_fits_vmem(x_shape, w_shape, *, stride=1, padding=1, dilation=1,
                   deformable_groups=1, dtype=None) -> bool:
-    """Trace-time feasibility check for the fused backward."""
+    """Trace-time feasibility check for the fused backward.
+
+    f32 shapes carry a calibrated 2.25x liveness factor (see
+    _pick_rows_bwd) — without it an f32 train-shape dispatch crashes
+    the Mosaic compile instead of falling back to XLA autodiff."""
     b, h, w, cin = x_shape
     kh, kw, _, cout = w_shape
     if cin % deformable_groups:
@@ -510,7 +533,8 @@ def deform_conv2d_pallas_bwd(
 
     cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
-    r_rows = _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize)
+    r_rows = _pick_rows_bwd(ho, wo, h, w, cin, cout, g, kh, kw, itemsize,
+                            require_tiling=not interpret)
     if not r_rows:
         raise ValueError(
             f"deform_conv2d_pallas_bwd: shape x={x.shape} w={weight.shape} "
@@ -625,7 +649,7 @@ def _fused_bwd(stride, padding, dilation, deformable_groups,
     # the gather+einsum autodiff already vectorizes well and beats the
     # fused kernel (DCN_BENCH g1_512: 2.84 ms XLA vs 4.93 ms fused)
     use_pallas = _BWD_MODE == "interpret" or (
-        _BWD_MODE == "auto" and jax.default_backend() == "tpu" and
+        _BWD_MODE == "auto" and jax.default_backend() in ("tpu", "axon") and
         deformable_groups > 1 and
         bwd_fits_vmem(x.shape, weight.shape, stride=stride, padding=padding,
                       dilation=dilation, deformable_groups=deformable_groups,

@@ -415,8 +415,11 @@ def soft_nms_pallas_classes(
     rank_global = jnp.argsort(ord2)              # inverse permutation
     keep = sel & (rank_global < steps)
     rank = jnp.where(keep, rank_global, k0)
-    new_scores = jnp.where(sel, new_scores, jnp.take(
-        jnp.where(valid, scores.astype(jnp.float32), 0.0), iota))
+    # new_scores stays the back-mapped kernel state: decayed values for
+    # non-selected valid boxes and _NEG for invalid ones — the same
+    # convention soft_nms_pallas returns (with no max_out both kernels
+    # run every class to exhaustion, so non-kept decays match exactly;
+    # under max_out this kernel may apply more decays, per docstring).
     return new_scores, keep, rank
 
 

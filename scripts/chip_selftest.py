@@ -213,12 +213,12 @@ def renderer_case(results):
                                       jnp.asarray(valid))
     import jax as _jax
     errs = {}
-    tl = _jax.tree_util.tree_leaves_with_path(tpu)
-    cl = _jax.tree_util.tree_leaves(cpu)
-    for (path, a), b in zip(tl, cl):
+    tpu_leaves = _jax.tree_util.tree_leaves_with_path(tpu)
+    cpu_leaves = _jax.tree_util.tree_leaves(cpu)
+    for (path, t_leaf), c_leaf in zip(tpu_leaves, cpu_leaves):
         k = "".join(str(p) for p in path) or "leaf"
-        errs[k] = float(np.max(np.abs(np.asarray(a, np.float32)
-                                      - np.asarray(b, np.float32))))
+        errs[k] = float(np.max(np.abs(np.asarray(t_leaf, np.float32)
+                                      - np.asarray(c_leaf, np.float32))))
     results["target_renderer_tpu_vs_cpu"] = {
         "max_abs_err": {k: round(v, 7) for k, v in errs.items()},
         "pass": all(v < 1e-4 for v in errs.values())}

@@ -53,6 +53,15 @@ def main():
     args = ap.parse_args()
 
     rows = parse_log_txt(os.path.join(args.log_dir, "log.txt"))
+    # invocation A must be the FRESH run: refuse to stamp the artifact
+    # if its log carries a resume marker (wrong log passed, or the
+    # "fresh" run actually resumed from a stale checkpoint dir)
+    for line in open(args.log_a, errors="replace"):
+        m = re.search(r"resumed from step (\d+)", line)
+        if m:
+            raise SystemExit(
+                f"--log-a contains a resume marker (step {m.group(1)}) "
+                "but must be the fresh run's log")
     resumed_at = None
     for line in open(args.log_b, errors="replace"):
         m = re.search(r"resumed from step (\d+)", line)

@@ -109,9 +109,10 @@ def test_classes_matches_serial_per_class():
     ns_s, keep_s, rank_s = _serial_reference(boxes, scores, cls, **kw)
     keep_c, keep_s = np.asarray(keep_c), np.asarray(keep_s)
     np.testing.assert_array_equal(keep_c, keep_s)
-    np.testing.assert_allclose(np.asarray(ns_c)[keep_c],
-                               np.asarray(ns_s)[keep_s], rtol=1e-5,
-                               atol=1e-6)
+    # with no max_out both kernels run every class to exhaustion, so
+    # the FULL score vector (incl. decayed non-kept boxes) must match
+    np.testing.assert_allclose(np.asarray(ns_c), np.asarray(ns_s),
+                               rtol=1e-5, atol=1e-6)
     # selection order: the class-parallel global rank is reconstructed
     # from final scores; must equal the serial selection order
     oc = np.where(keep_c)[0][np.argsort(np.asarray(rank_c)[keep_c])]
